@@ -1,0 +1,130 @@
+"""Config/flag system (SURVEY.md C21).
+
+Frozen dataclasses so they are hashable and can be passed as static args to
+`jax.jit`. YAML/CLI overrides are layered on top by `meepoembedding_tpu.cli`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+LANES = 128  # TPU vector lane width; one hash bucket == one lane row.
+
+
+def _pow2(x: int) -> bool:
+    return x > 0 and (x & (x - 1)) == 0
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Sparse optimizer applied in-place to table rows (SURVEY.md C4).
+
+    kind: one of "sgd", "rowwise_adagrad", "adagrad", "adam".
+    Rowwise variants keep ONE scalar of state per row (the standard trick for
+    huge embedding tables); full variants keep per-element state planes.
+    """
+
+    kind: str = "rowwise_adagrad"
+    learning_rate: float = 0.05
+    eps: float = 1e-8
+    beta1: float = 0.9  # adam
+    beta2: float = 0.999  # adam
+    initial_accumulator: float = 0.1  # adagrad family
+
+    def num_rowwise_slots(self) -> int:
+        return {"sgd": 0, "rowwise_adagrad": 1, "adagrad": 0, "adam": 0}[self.kind]
+
+    def num_fulldim_slots(self) -> int:
+        return {"sgd": 0, "rowwise_adagrad": 0, "adagrad": 1, "adam": 2}[self.kind]
+
+
+@dataclasses.dataclass(frozen=True)
+class PolicyConfig:
+    """Admission / eviction policy (SURVEY.md C10; README.md:2 "dynamic").
+
+    - admit_threshold: insert a new id only once it has been seen this many
+      times (frequency admission, counted by an on-device count-min sketch).
+      1 means always admit.
+    - evict_policy: "none" | "lfu" | "ttl" | "lfu_ttl".
+    - ttl_steps: evict rows not touched for this many steps (ttl modes).
+    - lfu_min_freq: evict rows whose hit count is below this (lfu modes).
+    - max_evict_per_pass: static upper bound of rows exported per evict pass.
+    - cms_width: count-min sketch width (lanes) per hash row; 4 hash rows.
+    """
+
+    admit_threshold: int = 1
+    evict_policy: str = "none"
+    ttl_steps: int = 1 << 30
+    lfu_min_freq: int = 0
+    max_evict_per_pass: int = 1 << 14
+    cms_width: int = 1 << 15
+
+    def __post_init__(self):
+        assert self.cms_width % LANES == 0, "cms_width must be a multiple of 128"
+
+
+@dataclasses.dataclass(frozen=True)
+class TableConfig:
+    """Static geometry + behavior of one logical dynamic table (SURVEY.md C11).
+
+    - dim: embedding dimension. Either a divisor of 128 (rows are packed,
+      128//dim per storage row: zero HBM tile padding) or a multiple of 128.
+    - capacity: total number of rows across all shards; rounded up so each
+      shard holds a power-of-two number of 128-slot buckets.
+    - initializer_scale: fresh rows ~ Uniform(-s, s) derived *statelessly*
+      from the key hash (deterministic regardless of insert order — this is
+      what makes elastic restore bit-stable). 0.0 means zero-init.
+    - max_probe_rounds: linear-probing chain length before a key is dropped.
+    """
+
+    dim: int = 32
+    capacity: int = 1 << 20
+    initializer_scale: float = 0.01
+    max_probe_rounds: int = 4
+    value_dtype: str = "float32"
+    optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+    policy: PolicyConfig = dataclasses.field(default_factory=PolicyConfig)
+    name: str = "table"
+
+    def __post_init__(self):
+        d = self.dim
+        assert (d <= LANES and LANES % d == 0) or (d % LANES == 0), (
+            f"dim={d} must divide 128 or be a multiple of 128"
+        )
+
+    def buckets_per_shard(self, num_shards: int) -> int:
+        """Number of 128-slot buckets per shard (power of two, >= 1)."""
+        per_shard_rows = -(-self.capacity // num_shards)
+        nb = 1
+        while nb * LANES < per_shard_rows:
+            nb *= 2
+        return nb
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """DLRM/CTR model geometry (SURVEY.md C16)."""
+
+    kind: str = "dlrm"  # "dlrm" | "ctr_mlp"
+    num_dense_features: int = 13
+    num_sparse_features: int = 26
+    embedding_dim: int = 32
+    bottom_mlp: Tuple[int, ...] = (128, 64, 32)
+    top_mlp: Tuple[int, ...] = (256, 128, 1)
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """One training/benchmark run (SURVEY.md C21)."""
+
+    batch_size: int = 4096
+    unique_cap: Optional[int] = None  # static dedup capacity; None -> batch*hot
+    steps: int = 100
+    seed: int = 0
+    log_every: int = 20
+    eval_every: int = 0
+    dense_learning_rate: float = 1e-3
+    mesh_shape: Tuple[int, ...] = ()  # () -> all devices on one 'shard' axis
+    profile_dir: Optional[str] = None

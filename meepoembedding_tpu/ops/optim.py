@@ -1,0 +1,111 @@
+"""Sparse in-place optimizers for dynamic tables (SURVEY.md C4) and a minimal
+dense optimizer for the tower.
+
+The reference class applies rowwise-AdaGrad/Adam to touched rows with CUDA
+scatter kernels, bypassing the framework's dense optimizer (README.md:2
+"high-performance"). Here each update is a gather of the touched rows'
+state, a vectorized math block, and row-granular scatter-adds back into the
+donated table arrays — XLA performs them in place.
+
+Grads arrive already deduped/segment-summed: one grad row per unique slot,
+so every touched slot appears at most once (no duplicate-update hazard).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from meepoembedding_tpu.config import OptimizerConfig
+from meepoembedding_tpu.table.layout import TableShard, TableSpec
+from meepoembedding_tpu.table.xla_ops import (
+    gather_bucket_plane,
+    gather_values,
+    scatter_add_values,
+    scatter_bucket_plane,
+)
+
+
+def apply_sparse_grads(
+    spec: TableSpec, shard: TableShard, slot: jax.Array, grad: jax.Array
+) -> TableShard:
+    """Update table rows at `slot` with per-row grads [n, dim]. slot < 0
+    (denied/dropped ids) is a no-op. Dispatches on spec.optimizer.kind."""
+    opt = spec.optimizer
+    enabled = slot >= 0
+    grad = jnp.where(enabled[:, None], grad, 0).astype(jnp.float32)
+    kind = opt.kind
+    if kind == "sgd":
+        delta = -opt.learning_rate * grad
+        values = scatter_add_values(spec, shard.values, slot, delta, enabled)
+        return shard._replace(values=values)
+
+    if kind == "rowwise_adagrad":
+        # One accumulator scalar per row: a += mean(g^2); w -= lr/sqrt(a) * g.
+        (accum_plane,) = shard.opt_rowwise
+        a_old = gather_bucket_plane(accum_plane, slot)
+        g2 = jnp.mean(grad * grad, axis=1)
+        a_new = a_old + g2
+        accum_plane = scatter_bucket_plane(accum_plane, slot, a_new, enabled)
+        scale = opt.learning_rate * jax.lax.rsqrt(a_new + opt.eps)
+        values = scatter_add_values(spec, shard.values, slot, -scale[:, None] * grad, enabled)
+        return shard._replace(values=values, opt_rowwise=(accum_plane,))
+
+    if kind == "adagrad":
+        (accum_plane,) = shard.opt_fulldim
+        a_old = gather_values(spec, accum_plane, slot).astype(jnp.float32)
+        a_new = a_old + grad * grad
+        accum_plane = scatter_add_values(spec, accum_plane, slot, a_new - a_old, enabled)
+        delta = -opt.learning_rate * grad * jax.lax.rsqrt(a_new + opt.eps)
+        values = scatter_add_values(spec, shard.values, slot, delta, enabled)
+        return shard._replace(values=values, opt_fulldim=(accum_plane,))
+
+    if kind == "adam":
+        # Sparse Adam without bias correction by global step (lazy variant:
+        # moments update only on touched rows, the standard trade-off for
+        # dynamic tables).
+        m_plane, v_plane = shard.opt_fulldim
+        m_old = gather_values(spec, m_plane, slot).astype(jnp.float32)
+        v_old = gather_values(spec, v_plane, slot).astype(jnp.float32)
+        m_new = opt.beta1 * m_old + (1 - opt.beta1) * grad
+        v_new = opt.beta2 * v_old + (1 - opt.beta2) * grad * grad
+        m_plane = scatter_add_values(spec, m_plane, slot, m_new - m_old, enabled)
+        v_plane = scatter_add_values(spec, v_plane, slot, v_new - v_old, enabled)
+        delta = -opt.learning_rate * m_new * jax.lax.rsqrt(v_new + opt.eps * opt.eps)
+        values = scatter_add_values(spec, shard.values, slot, delta, enabled)
+        return shard._replace(values=values, opt_fulldim=(m_plane, v_plane))
+
+    raise ValueError(f"unknown sparse optimizer: {kind}")
+
+
+# --- dense tower optimizer (SGD/Adam over a pytree; optax-compatible shape) --
+
+def dense_sgd_init(params):
+    return ()
+
+
+def dense_sgd_update(params, grads, state, lr: float):
+    new = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+    return new, state
+
+
+def dense_adam_init(params):
+    z = jax.tree.map(jnp.zeros_like, params)
+    return (z, jax.tree.map(jnp.zeros_like, params), jnp.zeros((), jnp.int32))
+
+
+def dense_adam_update(params, grads, state, lr: float, b1=0.9, b2=0.999, eps=1e-8):
+    m, v, t = state
+    t = t + 1
+    m = jax.tree.map(lambda m_, g: b1 * m_ + (1 - b1) * g, m, grads)
+    v = jax.tree.map(lambda v_, g: b2 * v_ + (1 - b2) * g * g, v, grads)
+    tf = t.astype(jnp.float32)
+    c1 = 1.0 / (1.0 - b1**tf)
+    c2 = 1.0 / (1.0 - b2**tf)
+    new = jax.tree.map(
+        lambda p, m_, v_: p - lr * (m_ * c1) * jax.lax.rsqrt(v_ * c2 + eps * eps),
+        params,
+        m,
+        v,
+    )
+    return new, (m, v, t)

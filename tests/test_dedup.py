@@ -1,0 +1,57 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from meepoembedding_tpu.ops import dedup
+from meepoembedding_tpu.table import hashing
+
+
+def _run(ids64, size):
+    hi, lo = hashing.split_ids(np.asarray(ids64, np.int64))
+    return jax.jit(dedup.unique_pairs, static_argnums=(2,))(
+        jnp.asarray(hi), jnp.asarray(lo), size
+    )
+
+
+def test_unique_basic():
+    ids = [5, 3, 5, 9, 3, 3]
+    u = _run(ids, size=6)
+    assert int(u.count) == 3
+    got = hashing.join_ids(np.asarray(u.hi), np.asarray(u.lo))
+    assert set(got[np.asarray(u.valid)]) == {3, 5, 9}
+    # inverse reconstructs input
+    recon = got[np.asarray(u.inverse)]
+    np.testing.assert_array_equal(recon, ids)
+
+
+def test_unique_with_invalid_pad():
+    ids = [7, hashing.EMPTY_ID, 7, hashing.EMPTY_ID]
+    u = _run(ids, size=4)
+    assert int(u.count) == 1
+    valid = np.asarray(u.valid)
+    got = hashing.join_ids(np.asarray(u.hi), np.asarray(u.lo))
+    # pad entries map to a unique whose valid flag is False
+    inv = np.asarray(u.inverse)
+    assert valid[inv[0]] and not valid[inv[1]]
+    assert got[inv[0]] == 7
+
+
+def test_unique_large_random(rng):
+    ids = rng.integers(-(2**62), 2**62, size=512, dtype=np.int64)
+    ids = rng.choice(ids[:100], size=512)  # force duplicates
+    u = _run(ids, size=512)
+    expect = np.unique(ids)
+    assert int(u.count) == len(expect)
+    got = hashing.join_ids(np.asarray(u.hi), np.asarray(u.lo))
+    recon = got[np.asarray(u.inverse)]
+    np.testing.assert_array_equal(recon, ids)
+
+
+def test_segment_sum_matches_dense():
+    inv = jnp.asarray(np.array([0, 1, 0, 2, 2, 2]))
+    g = jnp.asarray(np.arange(18, dtype=np.float32).reshape(6, 3))
+    out = dedup.segment_sum_grads(g, inv, 4)
+    expect = np.zeros((4, 3), np.float32)
+    for i, j in enumerate([0, 1, 0, 2, 2, 2]):
+        expect[j] += np.arange(18).reshape(6, 3)[i]
+    np.testing.assert_allclose(np.asarray(out), expect)

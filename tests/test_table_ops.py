@@ -1,0 +1,148 @@
+"""Property tests of the XLA table ops against the dict oracle (SURVEY.md §4.1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from meepoembedding_tpu.config import OptimizerConfig, PolicyConfig, TableConfig
+from meepoembedding_tpu.table import hashing, xla_ops
+from meepoembedding_tpu.table.layout import TableSpec, alloc_shard
+from meepoembedding_tpu.table.oracle import OracleTable
+from meepoembedding_tpu.table.runtime import DynamicEmbeddingTable
+
+
+def _ids(rng, n, lo=0, hi=10**12):
+    return rng.integers(lo, hi, size=n, dtype=np.int64)
+
+
+def make_spec(dim=16, nb=64, **kw):
+    cfg = TableConfig(dim=dim, capacity=nb * 128, **kw)
+    return TableSpec.from_config(cfg)
+
+
+def fi(spec, shard, ids64, step=0):
+    hi, lo = hashing.split_ids(ids64)
+    valid = hashing.is_valid(jnp.asarray(hi), jnp.asarray(lo))
+    return jax.jit(xla_ops.find_or_insert, static_argnums=(0,))(
+        spec, shard, jnp.asarray(hi), jnp.asarray(lo), valid, jnp.int32(step)
+    )
+
+
+class TestFindOrInsert:
+    def test_insert_then_hit(self, rng):
+        spec = make_spec()
+        shard = alloc_shard(spec)
+        ids = _ids(rng, 100)
+        shard, slot, found = fi(spec, shard, ids)
+        assert not np.asarray(found).any()
+        assert (np.asarray(slot) >= 0).all()
+        shard2, slot2, found2 = fi(spec, shard, ids)
+        assert np.asarray(found2).all()
+        np.testing.assert_array_equal(np.asarray(slot2), np.asarray(slot))
+
+    def test_no_slot_collisions(self, rng):
+        spec = make_spec(nb=8)  # tiny: forces multi-key buckets
+        shard = alloc_shard(spec)
+        ids = _ids(rng, 500)
+        shard, slot, _ = fi(spec, shard, ids)
+        s = np.asarray(slot)
+        s = s[s >= 0]
+        assert len(np.unique(s)) == len(s), "two keys claimed the same slot"
+
+    def test_cross_batch_no_collisions(self, rng):
+        spec = make_spec(nb=8)
+        shard = alloc_shard(spec)
+        all_slots = {}
+        for i in range(6):
+            ids = _ids(rng, 120)
+            shard, slot, found = fi(spec, shard, ids, step=i)
+            for k, s in zip(ids, np.asarray(slot)):
+                if s < 0:
+                    continue
+                if int(k) in all_slots:
+                    assert all_slots[int(k)] == s
+                else:
+                    assert s not in set(all_slots.values()), "slot reused"
+                    all_slots[int(k)] = s
+
+    def test_default_rows_returned(self, rng):
+        spec = make_spec(dim=16)
+        shard = alloc_shard(spec)
+        ids = _ids(rng, 32)
+        hi, lo = hashing.split_ids(ids)
+        shard, slot, _ = fi(spec, shard, ids)
+        rows = xla_ops.lookup_rows(spec, shard, slot)
+        expect = hashing.default_rows(jnp.asarray(hi), jnp.asarray(lo), 16, spec.initializer_scale)
+        np.testing.assert_allclose(np.asarray(rows), np.asarray(expect), rtol=1e-6)
+
+    def test_invalid_ids_ignored(self):
+        spec = make_spec()
+        shard = alloc_shard(spec)
+        ids = np.array([hashing.EMPTY_ID, 5, hashing.EMPTY_ID], np.int64)
+        shard, slot, found = fi(spec, shard, ids)
+        s = np.asarray(slot)
+        assert s[0] < 0 and s[2] < 0 and s[1] >= 0
+        assert int(jnp.sum(shard.cnt)) == 1
+
+    def test_overflow_drops_when_full(self, rng):
+        spec = make_spec(nb=1, dim=16)  # 128 slots total
+        shard = alloc_shard(spec)
+        ids = _ids(rng, 300)
+        ids = np.unique(ids)[:200]
+        shard, slot, _ = fi(spec, shard, ids)
+        s = np.asarray(slot)
+        assert (s >= 0).sum() == 128
+        assert (s < 0).sum() == len(ids) - 128
+        c = np.asarray(shard.counters)
+        assert c[3] == len(ids) - 128  # DROPS
+
+    def test_dim_gt_128(self, rng):
+        spec = make_spec(dim=256, nb=4)
+        shard = alloc_shard(spec)
+        ids = _ids(rng, 16)
+        hi, lo = hashing.split_ids(ids)
+        shard, slot, _ = fi(spec, shard, ids)
+        rows = xla_ops.lookup_rows(spec, shard, slot)
+        expect = hashing.default_rows(jnp.asarray(hi), jnp.asarray(lo), 256, spec.initializer_scale)
+        np.testing.assert_allclose(np.asarray(rows), np.asarray(expect), rtol=1e-6)
+
+
+class TestProbeChains:
+    def test_probe_past_full_bucket(self, rng):
+        """Keys overflowing a full bucket land in the next; lookups find them."""
+        spec = make_spec(nb=4, dim=16)
+        shard = alloc_shard(spec)
+        # fill heavily: 300 keys over 512 slots -> some buckets overflow
+        ids = np.unique(_ids(rng, 600))[:400]
+        shard, slot, _ = fi(spec, shard, ids)
+        shard, slot2, found2 = fi(spec, shard, ids)
+        ok = np.asarray(slot) >= 0
+        assert np.asarray(found2)[ok].all()
+        np.testing.assert_array_equal(np.asarray(slot2)[ok], np.asarray(slot)[ok])
+
+
+class TestOracleParity:
+    @pytest.mark.parametrize("opt", ["sgd", "rowwise_adagrad", "adagrad", "adam"])
+    def test_train_sequence_matches_oracle(self, rng, opt):
+        dim = 8
+        cfg = TableConfig(
+            dim=dim,
+            capacity=128 * 64,
+            optimizer=OptimizerConfig(kind=opt, learning_rate=0.1),
+            initializer_scale=0.02,
+        )
+        table = DynamicEmbeddingTable(cfg)
+        oracle = OracleTable(dim, 0.02, cfg.optimizer)
+        pool = _ids(rng, 50)
+        for step in range(5):
+            ids = rng.choice(pool, size=40)
+            rows_dev = np.asarray(table.lookup(ids))
+            rows_ora = oracle.lookup(ids, step=step)
+            np.testing.assert_allclose(rows_dev, rows_ora, atol=1e-5)
+            grads = rng.normal(size=(40, dim)).astype(np.float32)
+            table.apply_grads(jnp.asarray(grads))
+            oracle.apply_grads(ids, grads)
+        assert len(table) == len(oracle)
+        c = table.counters()
+        assert c["hits"] == oracle.hits and c["misses"] == oracle.misses
