@@ -1,0 +1,10 @@
+from meepoembedding_tpu.models.ctr_mlp import CtrMlp  # noqa: F401
+from meepoembedding_tpu.models.dlrm import DLRM  # noqa: F401
+
+
+def build_model(cfg):
+    if cfg.kind == "dlrm":
+        return DLRM(cfg)
+    if cfg.kind == "ctr_mlp":
+        return CtrMlp(cfg)
+    raise ValueError(f"unknown model kind: {cfg.kind}")

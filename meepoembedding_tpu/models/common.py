@@ -1,0 +1,39 @@
+"""Shared pure-JAX model pieces (SURVEY.md C16). No framework dependency:
+params are plain pytrees so they shard/donate cleanly under jit."""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def mlp_init(key, sizes: Sequence[int], in_dim: int, dtype=jnp.float32):
+    """He-init MLP params: list of (W, b)."""
+    params = []
+    d = in_dim
+    for i, h in enumerate(sizes):
+        key, k1 = jax.random.split(key)
+        w = jax.random.normal(k1, (d, h), dtype) * jnp.sqrt(2.0 / d).astype(dtype)
+        params.append((w, jnp.zeros((h,), dtype)))
+        d = h
+    return params
+
+
+def mlp_apply(params, x, final_activation: bool = False):
+    """ReLU MLP; the last layer is linear unless final_activation. Matmuls
+    stay batched and 2-D so XLA tiles them onto the MXU."""
+    n = len(params)
+    for i, (w, b) in enumerate(params):
+        x = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+        if i < n - 1 or final_activation:
+            x = jax.nn.relu(x)
+    return x
+
+
+def bce_with_logits(logits, labels):
+    """Binary cross-entropy on logits, numerically stable."""
+    z = logits.reshape(-1)
+    y = labels.reshape(-1).astype(jnp.float32)
+    return jnp.mean(jnp.maximum(z, 0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z))))

@@ -1,0 +1,26 @@
+"""CTR-MLP: the simple wide concat-MLP CTR model (SURVEY.md C16, BASELINE
+config 1). Dense features concat pooled sparse embeddings -> MLP -> logit."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from meepoembedding_tpu.config import ModelConfig
+from meepoembedding_tpu.models.common import mlp_apply, mlp_init
+
+
+class CtrMlp:
+    def __init__(self, cfg: ModelConfig):
+        self.cfg = cfg
+
+    def init(self, key):
+        cfg = self.cfg
+        in_dim = cfg.num_dense_features + cfg.num_sparse_features * cfg.embedding_dim
+        return {"mlp": mlp_init(key, cfg.top_mlp, in_dim)}
+
+    def apply(self, params, dense, emb):
+        """dense [B, ND]; emb [B, NS, D] -> logits [B]."""
+        b = dense.shape[0]
+        z = jnp.concatenate([dense, emb.reshape(b, -1)], axis=1)
+        return mlp_apply(params["mlp"], z).reshape(-1)

@@ -1,0 +1,186 @@
+"""Training loop with sparse/dense split (SURVEY.md C18, §3.2-3.3).
+
+One jitted step fuses the whole pipeline: dedup -> find_or_insert ->
+gather -> dense fwd/bwd -> sparse scatter-update -> dense optimizer. The
+shard pytree is donated, so table updates happen in place in HBM. The
+gradient w.r.t. the *unique* gathered rows is produced directly by autodiff
+through the inverse-index gather (XLA emits the segment-sum), which is the
+dedup'd backward of SURVEY.md §3.3.
+
+Distributed variant (row-sharded table + DP dense) lives in
+`meepoembedding_tpu.parallel.trainer` and shares this module's loss plumbing.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from meepoembedding_tpu.config import ModelConfig, RunConfig, TableConfig
+from meepoembedding_tpu.metrics import JsonlLogger, Meter, StreamingAUC
+from meepoembedding_tpu.models import build_model
+from meepoembedding_tpu.models.common import bce_with_logits
+from meepoembedding_tpu.ops import dedup, optim
+from meepoembedding_tpu.table import hashing, xla_ops
+from meepoembedding_tpu.table.layout import TableSpec, alloc_shard
+
+
+class Trainer:
+    """Single-device trainer (BASELINE configs 1-2)."""
+
+    def __init__(
+        self,
+        run_cfg: RunConfig,
+        table_cfg: TableConfig,
+        model_cfg: ModelConfig,
+        spill=None,
+    ):
+        assert model_cfg.embedding_dim == table_cfg.dim
+        self.run_cfg = run_cfg
+        self.table_cfg = table_cfg
+        self.model_cfg = model_cfg
+        self.spec = TableSpec.from_config(table_cfg, num_shards=1)
+        self.model = build_model(model_cfg)
+        self.shard = alloc_shard(self.spec)
+        key = jax.random.PRNGKey(run_cfg.seed)
+        self.params = self.model.init(key)
+        self.opt_state = optim.dense_adam_init(self.params)
+        self.step = 0
+        self.spill = spill
+        self.auc = StreamingAUC()
+        self._step_fn = self._build_step()
+        self._eval_fn = self._build_eval()
+
+    def _unique_cap(self, batch_ids_shape) -> int:
+        return self.run_cfg.unique_cap or int(np.prod(batch_ids_shape))
+
+    def _build_step(self):
+        spec, model = self.spec, self.model
+        lr = self.run_cfg.dense_learning_rate
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step_fn(shard, params, opt_state, dense, hi, lo, label, step):
+            b, s = hi.shape
+            cap = self._unique_cap((b, s))
+            uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), cap)
+            shard, slot, _found = xla_ops.find_or_insert(
+                spec, shard, uniq.hi, uniq.lo, uniq.valid, step
+            )
+            rows_u = xla_ops.lookup_rows(spec, shard, slot)
+
+            def loss_fn(params, rows_u):
+                emb = rows_u[uniq.inverse].reshape(b, s, spec.dim)
+                logits = model.apply(params, dense, emb)
+                return bce_with_logits(logits, label), logits
+
+            (loss, logits), (g_dense, g_rows) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(params, rows_u)
+            shard = optim.apply_sparse_grads(spec, shard, slot, g_rows)
+            params, opt_state = optim.dense_adam_update(params, g_dense, opt_state, lr)
+            return shard, params, opt_state, loss, logits
+
+        return step_fn
+
+    def _build_eval(self):
+        spec, model = self.spec, self.model
+
+        @jax.jit
+        def eval_fn(shard, params, dense, hi, lo, label):
+            b, s = hi.shape
+            cap = self._unique_cap((b, s))
+            uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), cap)
+            pr = xla_ops.probe(spec, shard, uniq.hi, uniq.lo, uniq.valid)
+            rows = xla_ops.lookup_rows(spec, shard, jnp.where(pr.found, pr.slot, -1))
+            emb = rows[uniq.inverse].reshape(b, s, spec.dim)
+            logits = model.apply(params, dense, emb)
+            return bce_with_logits(logits, label), logits
+
+        return eval_fn
+
+    # --- public API ----------------------------------------------------------
+    def train_step(self, batch: dict) -> dict:
+        hi, lo = hashing.split_ids(batch["ids"])
+        self.shard, self.params, self.opt_state, loss, logits = self._step_fn(
+            self.shard,
+            self.params,
+            self.opt_state,
+            jnp.asarray(batch["dense"]),
+            jnp.asarray(hi),
+            jnp.asarray(lo),
+            jnp.asarray(batch["label"]),
+            jnp.int32(self.step),
+        )
+        self.step += 1
+        self.auc.update(logits, jnp.asarray(batch["label"]))
+        return {"loss": float(loss)}
+
+    def eval_step(self, batch: dict) -> dict:
+        hi, lo = hashing.split_ids(batch["ids"])
+        loss, logits = self._eval_fn(
+            self.shard,
+            self.params,
+            jnp.asarray(batch["dense"]),
+            jnp.asarray(hi),
+            jnp.asarray(lo),
+            jnp.asarray(batch["label"]),
+        )
+        return {"loss": float(loss), "logits": logits}
+
+    def maintenance(self) -> dict:
+        """Eviction/spill tick (SURVEY.md §3.4), off the step critical path."""
+        if self.spec.policy.evict_policy == "none":
+            return {"evicted": 0}
+        self.shard, export = jax.jit(
+            xla_ops.evict_pass, static_argnums=(0,), donate_argnums=(1,)
+        )(self.spec, self.shard, jnp.int32(self.step))
+        n = int(export.count)
+        if n and self.spill is not None:
+            keys = hashing.join_ids(np.asarray(export.hi[:n]), np.asarray(export.lo[:n]))
+            self.spill.insert_batch(keys, np.asarray(export.rows[:n]))
+        return {"evicted": n}
+
+
+def train(
+    run_cfg: RunConfig,
+    table_cfg: TableConfig,
+    model_cfg: ModelConfig,
+    stream,
+    logger: Optional[JsonlLogger] = None,
+    maintenance_every: int = 50,
+    spill=None,
+) -> Trainer:
+    """Run `run_cfg.steps` training steps from a batch iterator."""
+    logger = logger or JsonlLogger(echo=True)
+    tr = Trainer(run_cfg, table_cfg, model_cfg, spill=spill)
+    loss_m = Meter()
+    t0 = time.perf_counter()
+    examples = 0
+    for i, batch in enumerate(stream.batches(run_cfg.steps)):
+        out = tr.train_step(batch)
+        loss_m.update(out["loss"])
+        examples += len(batch["label"])
+        if maintenance_every and (i + 1) % maintenance_every == 0:
+            tr.maintenance()
+        if (i + 1) % run_cfg.log_every == 0:
+            jax.block_until_ready(tr.shard.counters)
+            dt = time.perf_counter() - t0
+            logger.log(
+                step=tr.step,
+                loss=loss_m.mean,
+                auc=tr.auc.compute(),
+                examples_per_sec=examples / dt,
+                **{f"ctr_{k}": v for k, v in _counters(tr).items()},
+            )
+    return tr
+
+
+def _counters(tr: Trainer) -> dict:
+    c = np.asarray(tr.shard.counters)
+    names = ["hits", "misses", "inserts", "drops", "evictions", "spills", "promotes", "denied"]
+    return {n: int(c[i]) for i, n in enumerate(names)}
