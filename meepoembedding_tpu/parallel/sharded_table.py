@@ -1,0 +1,135 @@
+"""Row-sharded table + all-to-all ID exchange (SURVEY.md C12/C13, §3.2-3.3).
+
+Runs INSIDE `jax.shard_map` over the mesh axis `d`. Each device owns one
+TableShard; `owner(key) = hash(key) >> k` routes every id to exactly one
+shard. The exchange is the MoE-dispatch communication pattern, on ICI:
+
+  source side   dedup local batch ids, bucket by owner, place into a
+                [S, cap] send buffer (static per-destination capacity —
+                data-dependent counts can't size buffers under jit; ids
+                beyond cap are dropped and counted, like MoE token drop).
+  all_to_all    ids out / rows back / grads back ride the same plan.
+  owner side    RE-dedup received ids (the same key can arrive from many
+                sources — without this a new key would claim several slots),
+                find_or_insert, gather rows once per unique key.
+
+Gradients reverse the exact forward plan and are segment-summed on the owner
+before one in-place sparse-optimizer update per key (SURVEY.md §3.3).
+
+The reference class implements this with NCCL all-to-all + CUDA dedup
+(BASELINE north-star: "row-sharded across a multi-host TPU pod slice with
+all-to-all ID exchange and dedup before lookup").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from meepoembedding_tpu.config import LANES
+from meepoembedding_tpu.ops import dedup, optim
+from meepoembedding_tpu.table import hashing, xla_ops
+from meepoembedding_tpu.table.layout import TableShard, TableSpec
+from meepoembedding_tpu.table.xla_ops import _segmented_rank
+
+ROUTE_DROPS = 8  # counters index (extends layout counter names)
+
+
+def a2a_capacity(unique_cap: int, num_shards: int, factor: float = 2.0) -> int:
+    """Static per-(src,dst) buffer size. factor >= num_shards is lossless."""
+    if num_shards == 1:
+        return unique_cap
+    cap = int(factor * unique_cap / num_shards)
+    cap = max(LANES, -(-cap // LANES) * LANES)
+    return min(cap, unique_cap)
+
+
+class RouteCtx(NamedTuple):
+    owner: jax.Array  # i32 [U] owning shard of each local unique id
+    pos: jax.Array  # i32 [U] position in the owner's send block
+    ok: jax.Array  # bool [U] placed within capacity
+    slot: jax.Array  # i32 [S*cap unique] owner-side slots (recv order)
+    inverse: jax.Array  # i32 [S*cap] owner-side dedup inverse
+
+
+def _route(uh, ul, valid, num_shards: int, cap: int):
+    owner = hashing.owner_of(uh, ul, num_shards)
+    owner = jnp.where(valid, owner, num_shards)
+    order, rank_sorted = _segmented_rank(owner)
+    n = uh.shape[0]
+    pos = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+    ok = valid & (pos < cap)
+    return owner, pos, ok
+
+
+def exchange_lookup(
+    spec: TableSpec,
+    shard: TableShard,
+    uh,
+    ul,
+    valid,
+    step,
+    axis: str,
+    cap: int,
+    train: bool = True,
+) -> Tuple[TableShard, jax.Array, RouteCtx]:
+    """Sharded find_or_insert + gather for local unique ids.
+    Returns (shard', emb_u [U, dim], ctx for the gradient reverse path)."""
+    S = lax.axis_size(axis)
+    owner, pos, ok = _route(uh, ul, valid, S, cap)
+
+    o = jnp.where(ok, owner, S)
+    send_hi = jnp.full((S, cap), hashing.EMPTY_HI, jnp.int32).at[o, pos].set(uh, mode="drop")
+    send_lo = jnp.full((S, cap), hashing.EMPTY_LO, jnp.int32).at[o, pos].set(ul, mode="drop")
+    recv_hi = lax.all_to_all(send_hi, axis, split_axis=0, concat_axis=0)
+    recv_lo = lax.all_to_all(send_lo, axis, split_axis=0, concat_axis=0)
+
+    rhi, rlo = recv_hi.reshape(-1), recv_lo.reshape(-1)
+    runiq = dedup.unique_pairs(rhi, rlo, size=rhi.shape[0])
+    if train:
+        shard, slot, _found = xla_ops.find_or_insert(
+            spec, shard, runiq.hi, runiq.lo, runiq.valid, step
+        )
+    else:
+        pr = xla_ops.probe(spec, shard, runiq.hi, runiq.lo, runiq.valid)
+        slot = jnp.where(pr.found, pr.slot, -1)
+    rows_u = xla_ops.lookup_rows(spec, shard, slot)  # [S*cap, dim]
+    rows = rows_u[runiq.inverse].reshape(S, cap, spec.dim)
+
+    back = lax.all_to_all(rows, axis, split_axis=0, concat_axis=0)  # [S, cap, dim]
+    emb_u = back[jnp.clip(owner, 0, S - 1), jnp.clip(pos, 0, cap - 1)]
+    emb_u = jnp.where(ok[:, None], emb_u, 0)
+
+    n_drop = jnp.sum(valid & ~ok).astype(jnp.int32)
+    shard = shard._replace(counters=shard.counters.at[ROUTE_DROPS].add(n_drop))
+    return shard, emb_u, RouteCtx(owner=owner, pos=pos, ok=ok, slot=slot, inverse=runiq.inverse)
+
+
+def exchange_apply_grads(
+    spec: TableSpec, shard: TableShard, ctx: RouteCtx, g_u, axis: str, cap: int
+) -> TableShard:
+    """Reverse path: route per-unique grads to owners, segment-sum per key,
+    one in-place optimizer update (SURVEY.md §3.3)."""
+    S = lax.axis_size(axis)
+    o = jnp.where(ctx.ok, ctx.owner, S)
+    send_g = (
+        jnp.zeros((S, cap, spec.dim), jnp.float32)
+        .at[o, ctx.pos]
+        .set(g_u.astype(jnp.float32), mode="drop")
+    )
+    recv_g = lax.all_to_all(send_g, axis, split_axis=0, concat_axis=0).reshape(-1, spec.dim)
+    g_per_key = dedup.segment_sum_grads(recv_g, ctx.inverse, num_unique=ctx.slot.shape[0])
+    return optim.apply_sparse_grads(spec, shard, ctx.slot, g_per_key)
+
+
+# --- stacked-shard helpers (shard_map passes [1, ...] leaves) ----------------
+
+def squeeze_shard(stacked: TableShard) -> TableShard:
+    return jax.tree.map(lambda a: a[0], stacked)
+
+
+def unsqueeze_shard(shard: TableShard) -> TableShard:
+    return jax.tree.map(lambda a: a[None], shard)

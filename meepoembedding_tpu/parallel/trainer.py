@@ -1,0 +1,213 @@
+"""Distributed trainer (SURVEY.md C14/C18; BASELINE configs 3/5).
+
+One jitted `shard_map` step over the 1-D mesh axis `d`:
+  - batch sharded over `d` (data parallelism for the dense tower, C14);
+  - one TableShard per device (row-sharded model parallelism, C12);
+  - all-to-all ID/row/grad exchange inside the step (C13);
+  - dense grads `pmean`ed over ICI, identical dense update on every device.
+
+Table state is stacked [S, ...] with a leading device axis sharded over `d`
+and donated, so the 1B-row target never double-allocates.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from meepoembedding_tpu.config import ModelConfig, RunConfig, TableConfig
+from meepoembedding_tpu.metrics import JsonlLogger, Meter, StreamingAUC
+from meepoembedding_tpu.models import build_model
+from meepoembedding_tpu.models.common import bce_with_logits
+from meepoembedding_tpu.ops import dedup, optim
+from meepoembedding_tpu.parallel import sharded_table as st
+from meepoembedding_tpu.parallel.mesh import SHARD_AXIS, make_mesh
+from meepoembedding_tpu.table import hashing, xla_ops
+from meepoembedding_tpu.table.layout import TableSpec, alloc_shard
+
+
+def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap: int,
+                      a2a_factor: float = 2.0):
+    """Build the jitted sharded train step. Batch arrays carry the GLOBAL
+    batch on axis 0 (sharded over `d`); table state is stacked [S, ...]."""
+    S = mesh.shape[SHARD_AXIS]
+    cap = st.a2a_capacity(unique_cap, S, a2a_factor)
+
+    def step_impl(stacked, params, opt_state, dense, hi, lo, label, step):
+        shard = st.squeeze_shard(stacked)
+        b, s = hi.shape
+        uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), unique_cap)
+        shard, emb_u, ctx = st.exchange_lookup(
+            spec, shard, uniq.hi, uniq.lo, uniq.valid, step, SHARD_AXIS, cap, train=True
+        )
+
+        def loss_fn(params, emb_u):
+            emb = emb_u[uniq.inverse].reshape(b, s, spec.dim)
+            logits = model.apply(params, dense, emb)
+            # 1/S so that grads carry GLOBAL-batch-mean scale: sparse grads
+            # are psum'd on owners by construction, dense grads psum'd below.
+            return bce_with_logits(logits, label) / S, logits
+
+        (loss, logits), (g_dense, g_u) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, emb_u)
+        shard = st.exchange_apply_grads(spec, shard, ctx, g_u, SHARD_AXIS, cap)
+        g_dense = lax.psum(g_dense, SHARD_AXIS)
+        params, opt_state = optim.dense_adam_update(params, g_dense, opt_state, dense_lr)
+        loss = lax.psum(loss, SHARD_AXIS)
+        return st.unsqueeze_shard(shard), params, opt_state, loss, logits
+
+    shard_specs = P(SHARD_AXIS)
+    fn = jax.shard_map(
+        step_impl,
+        mesh=mesh,
+        in_specs=(shard_specs, P(), P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P()),
+        out_specs=(shard_specs, P(), P(), P(), P(SHARD_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def make_sharded_eval(spec: TableSpec, model, mesh, unique_cap: int, a2a_factor: float = 2.0):
+    S = mesh.shape[SHARD_AXIS]
+    cap = st.a2a_capacity(unique_cap, S, a2a_factor)
+
+    def eval_impl(stacked, params, dense, hi, lo, label):
+        shard = st.squeeze_shard(stacked)
+        b, s = hi.shape
+        uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), unique_cap)
+        _, emb_u, _ = st.exchange_lookup(
+            spec, shard, uniq.hi, uniq.lo, uniq.valid, jnp.int32(0), SHARD_AXIS, cap,
+            train=False,
+        )
+        emb = emb_u[uniq.inverse].reshape(b, s, spec.dim)
+        logits = model.apply(params, dense, emb)
+        loss = lax.pmean(bce_with_logits(logits, label), SHARD_AXIS)
+        return loss, logits
+
+    fn = jax.shard_map(
+        eval_impl,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(), P(SHARD_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def alloc_stacked_shards(spec: TableSpec, mesh) -> "TableShard":
+    """Empty per-device shards, stacked on a leading sharded axis. All shards
+    start identical, so a broadcast placed with the right sharding suffices."""
+    S = mesh.shape[SHARD_AXIS]
+    proto = alloc_shard(spec)
+    sharding = NamedSharding(mesh, P(SHARD_AXIS))
+
+    @partial(jax.jit, out_shardings=sharding)
+    def _alloc():
+        return jax.tree.map(lambda a: jnp.broadcast_to(a[None], (S,) + a.shape), proto)
+
+    return _alloc()
+
+
+class ShardedTrainer:
+    """Mirror of `train.Trainer` over a device mesh (BASELINE config 3)."""
+
+    def __init__(
+        self,
+        run_cfg: RunConfig,
+        table_cfg: TableConfig,
+        model_cfg: ModelConfig,
+        mesh=None,
+        spill=None,
+    ):
+        assert model_cfg.embedding_dim == table_cfg.dim
+        self.mesh = mesh or make_mesh()
+        self.S = self.mesh.shape[SHARD_AXIS]
+        assert run_cfg.batch_size % self.S == 0, "global batch must divide the mesh"
+        self.run_cfg = run_cfg
+        self.spec = TableSpec.from_config(table_cfg, num_shards=self.S)
+        self.model = build_model(model_cfg)
+        self.stacked = alloc_stacked_shards(self.spec, self.mesh)
+        key = jax.random.PRNGKey(run_cfg.seed)
+        rep = NamedSharding(self.mesh, P())
+        self.params = jax.device_put(self.model.init(key), rep)
+        self.opt_state = jax.device_put(optim.dense_adam_init(self.params), rep)
+        self.step = 0
+        self.spill = spill
+        self.auc = StreamingAUC()
+        per_dev_ids = run_cfg.batch_size // self.S * model_cfg.num_sparse_features
+        self.unique_cap = run_cfg.unique_cap or per_dev_ids
+        self._step_fn = make_sharded_step(
+            self.spec, self.model, self.mesh, run_cfg.dense_learning_rate, self.unique_cap
+        )
+        self._eval_fn = make_sharded_eval(self.spec, self.model, self.mesh, self.unique_cap)
+
+    def _device_batch(self, batch):
+        hi, lo = hashing.split_ids(batch["ids"])
+        shd = NamedSharding(self.mesh, P(SHARD_AXIS))
+        return (
+            jax.device_put(jnp.asarray(batch["dense"]), shd),
+            jax.device_put(jnp.asarray(hi), shd),
+            jax.device_put(jnp.asarray(lo), shd),
+            jax.device_put(jnp.asarray(batch["label"]), shd),
+        )
+
+    def train_step(self, batch: dict) -> dict:
+        dense, hi, lo, label = self._device_batch(batch)
+        self.stacked, self.params, self.opt_state, loss, logits = self._step_fn(
+            self.stacked, self.params, self.opt_state, dense, hi, lo, label,
+            jnp.int32(self.step),
+        )
+        self.step += 1
+        self.auc.update(logits, jnp.asarray(batch["label"]))
+        return {"loss": float(loss)}
+
+    def eval_step(self, batch: dict) -> dict:
+        dense, hi, lo, label = self._device_batch(batch)
+        loss, logits = self._eval_fn(self.stacked, self.params, dense, hi, lo, label)
+        return {"loss": float(loss), "logits": logits}
+
+    def maintenance(self) -> dict:
+        if self.spec.policy.evict_policy == "none":
+            return {"evicted": 0}
+        evict = jax.shard_map(
+            lambda stacked, step: jax.tree.map(
+                lambda a: a[None],
+                xla_ops.evict_pass(self.spec, st.squeeze_shard(stacked), step),
+            ),
+            mesh=self.mesh,
+            in_specs=(P(SHARD_AXIS), P()),
+            out_specs=P(SHARD_AXIS),
+            check_vma=False,
+        )
+        self.stacked, export = jax.jit(evict, donate_argnums=(0,))(
+            self.stacked, jnp.int32(self.step)
+        )
+        total = int(np.asarray(jax.device_get(export.count)).sum())
+        if total and self.spill is not None:
+            for i in range(self.S):
+                n = int(export.count[i])
+                if n:
+                    keys = hashing.join_ids(
+                        np.asarray(export.hi[i][:n]), np.asarray(export.lo[i][:n])
+                    )
+                    self.spill.insert_batch(keys, np.asarray(export.rows[i][:n]))
+        return {"evicted": total}
+
+    def counters(self) -> dict:
+        c = np.asarray(jax.device_get(self.stacked.counters)).sum(axis=0)
+        names = [
+            "hits", "misses", "inserts", "drops", "evictions", "spills",
+            "promotes", "denied", "route_drops",
+        ]
+        return {n: int(c[i]) for i, n in enumerate(names)}
+
+    def __len__(self) -> int:
+        return int(np.asarray(jax.device_get(self.stacked.cnt)).sum())

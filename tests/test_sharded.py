@@ -1,0 +1,134 @@
+"""Multi-chip logic on the 8-virtual-device CPU mesh (SURVEY.md §4.3):
+sharded lookup must be semantically identical to a single-shard table."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from meepoembedding_tpu.config import ModelConfig, OptimizerConfig, RunConfig, TableConfig
+from meepoembedding_tpu.data.synthetic import SyntheticConfig, SyntheticStream
+from meepoembedding_tpu.metrics import JsonlLogger
+from meepoembedding_tpu.parallel import sharded_table as st
+from meepoembedding_tpu.parallel.mesh import SHARD_AXIS, make_mesh
+from meepoembedding_tpu.parallel.trainer import ShardedTrainer, alloc_stacked_shards
+from meepoembedding_tpu.table import hashing
+from meepoembedding_tpu.table.layout import TableSpec
+from meepoembedding_tpu.table.oracle import OracleTable
+
+
+def _ids(rng, n, pool=200):
+    return rng.integers(0, 10**12, size=pool, dtype=np.int64)[
+        rng.integers(0, pool, size=n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def _sharded_lookup_fn(spec, mesh, n, cap):
+    def impl(stacked, hi, lo, step):
+        shard = st.squeeze_shard(stacked)
+        from meepoembedding_tpu.ops import dedup
+
+        uniq = dedup.unique_pairs(hi, lo, n)
+        shard, emb_u, ctx = st.exchange_lookup(
+            spec, shard, uniq.hi, uniq.lo, uniq.valid, step, SHARD_AXIS, cap
+        )
+        return st.unsqueeze_shard(shard), emb_u[uniq.inverse], ctx
+
+    return jax.jit(
+        jax.shard_map(
+            impl,
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P()),
+            out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+            check_vma=False,
+        )
+    )
+
+
+def test_sharded_lookup_matches_oracle(mesh, rng):
+    dim = 8
+    cfg = TableConfig(dim=dim, capacity=128 * 64, initializer_scale=0.02)
+    spec = TableSpec.from_config(cfg, num_shards=8)
+    stacked = alloc_stacked_shards(spec, mesh)
+    oracle = OracleTable(dim, 0.02)
+    n_per_dev = 64
+    cap = st.a2a_capacity(n_per_dev, 8, factor=8.0)  # lossless for the test
+    fn = _sharded_lookup_fn(spec, mesh, n_per_dev, cap)
+    for step in range(3):
+        ids = _ids(rng, 8 * n_per_dev)
+        hi, lo = hashing.split_ids(ids)
+        stacked, rows, _ = fn(stacked, jnp.asarray(hi), jnp.asarray(lo), jnp.int32(step))
+        expect = oracle.lookup(ids, step=step)
+        np.testing.assert_allclose(np.asarray(rows), expect, atol=1e-5)
+
+
+def test_keys_land_on_owner_shard(mesh, rng):
+    """Every inserted key must live on exactly its owner(key) shard."""
+    dim = 8
+    cfg = TableConfig(dim=dim, capacity=128 * 64)
+    spec = TableSpec.from_config(cfg, num_shards=8)
+    stacked = alloc_stacked_shards(spec, mesh)
+    ids = rng.permutation(np.arange(1, 100001, dtype=np.int64) * 7919)[:512]
+    n_per_dev = 64
+    hi, lo = hashing.split_ids(ids)
+    cap = st.a2a_capacity(n_per_dev, 8, factor=8.0)
+    fn = _sharded_lookup_fn(spec, mesh, n_per_dev, cap)
+    stacked, _, _ = fn(stacked, jnp.asarray(hi), jnp.asarray(lo), jnp.int32(0))
+    owners = np.asarray(hashing.owner_of(jnp.asarray(hi), jnp.asarray(lo), 8))
+    kh = np.asarray(jax.device_get(stacked.key_hi))  # [8, nb, 128]
+    kl = np.asarray(jax.device_get(stacked.key_lo))
+    live = ~((kh == hashing.EMPTY_HI) & (kl == hashing.EMPTY_LO))
+    for s in range(8):
+        got = set(hashing.join_ids(kh[s][live[s]], kl[s][live[s]]))
+        expect = set(ids[owners == s].tolist())
+        assert got == expect, f"shard {s} holds wrong keys"
+
+
+def test_sharded_trainer_learns(mesh):
+    dim = 8
+    run = RunConfig(batch_size=512, steps=70, dense_learning_rate=3e-3)
+    table = TableConfig(
+        dim=dim, capacity=1 << 15, optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.1)
+    )
+    model = ModelConfig(
+        kind="ctr_mlp", num_dense_features=4, num_sparse_features=4,
+        embedding_dim=dim, bottom_mlp=(16, dim), top_mlp=(32, 1),
+    )
+    data = SyntheticConfig(num_dense=4, num_sparse=4, batch_size=512, vocab_per_feature=500)
+    tr = ShardedTrainer(run, table, model, mesh=mesh)
+    for batch in SyntheticStream(data).batches(run.steps):
+        tr.train_step(batch)
+    assert tr.auc.compute() > 0.6
+    c = tr.counters()
+    assert c["inserts"] > 0 and c["hits"] > 0
+    # keys spread across shards
+    cnt = np.asarray(jax.device_get(tr.stacked.cnt)).sum(axis=(1,))
+    assert (cnt > 0).all()
+
+
+def test_sharded_matches_single_device_training(mesh):
+    """Sharded training must track single-device training (same data)."""
+    from meepoembedding_tpu.train import Trainer
+
+    dim = 8
+    run = RunConfig(batch_size=256, steps=8, dense_learning_rate=3e-3, seed=3)
+    table = TableConfig(dim=dim, capacity=1 << 14, initializer_scale=0.02)
+    model = ModelConfig(
+        kind="ctr_mlp", num_dense_features=4, num_sparse_features=4,
+        embedding_dim=dim, bottom_mlp=(16, dim), top_mlp=(32, 1),
+    )
+    data = SyntheticConfig(num_dense=4, num_sparse=4, batch_size=256, vocab_per_feature=300)
+    t1 = Trainer(run, table, model)
+    t8 = ShardedTrainer(run, table, model, mesh=mesh)
+    losses1, losses8 = [], []
+    for batch in SyntheticStream(data).batches(run.steps):
+        losses1.append(t1.train_step(batch)["loss"])
+        losses8.append(t8.train_step(batch)["loss"])
+    np.testing.assert_allclose(losses1, losses8, rtol=2e-3, atol=2e-4)
