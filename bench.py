@@ -1,0 +1,175 @@
+"""Headline benchmark (SURVEY.md C20, BASELINE.json metric).
+
+Measures steady-state dynamic-table throughput on one chip: each timed step
+is the full hot path — dedup -> probe/insert -> gather -> rowwise-AdaGrad
+scatter-update — over a zipf-like id stream against a prefilled table.
+
+Prints ONE JSON line:
+  metric  "lookup_update_ids_per_sec_per_chip"
+  value   ids processed per second (lookup + in-place update per id)
+  vs_baseline  ratio vs a raw static gather + scatter-add on the SAME value
+    geometry with precomputed slots (no hashing/probe/dedup) — i.e. the
+    speed-of-light for a non-dynamic table on this chip. 1.0 == the dynamic
+    machinery is free. The reference publishes no numbers (BASELINE.md), so
+    this hardware-derived bound is the honest denominator.
+
+Env knobs: MEEPO_BENCH_CAP (rows, default 2^25), MEEPO_BENCH_BATCH (ids/step,
+default 2^19), MEEPO_BENCH_DIM (default 32), MEEPO_BENCH_STEPS (default 20).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from meepoembedding_tpu.config import OptimizerConfig, TableConfig
+    from meepoembedding_tpu.ops import dedup, optim
+    from meepoembedding_tpu.table import hashing, xla_ops
+    from meepoembedding_tpu.table.layout import TableSpec, alloc_shard
+
+    cap = int(os.environ.get("MEEPO_BENCH_CAP", 1 << 25))
+    batch = int(os.environ.get("MEEPO_BENCH_BATCH", 1 << 19))
+    dim = int(os.environ.get("MEEPO_BENCH_DIM", 32))
+    steps = int(os.environ.get("MEEPO_BENCH_STEPS", 20))
+    fill = float(os.environ.get("MEEPO_BENCH_FILL", 0.8))
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind}, cap={cap}, batch={batch}, dim={dim}")
+
+    cfg = TableConfig(
+        dim=dim, capacity=cap,
+        optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.05),
+        initializer_scale=0.01,
+    )
+    spec = TableSpec.from_config(cfg, num_shards=1)
+    log(f"hbm bytes: {spec.hbm_bytes()/1e9:.2f} GB, buckets={spec.num_buckets}")
+
+    shard = jax.jit(lambda: alloc_shard(spec))()
+    jax.block_until_ready(shard.values)
+
+    # --- prefill to `fill` load factor --------------------------------------
+    n_live = int(spec.capacity * fill)
+    key_mult = np.int64(0x9E3779B97F4A7C15 & 0x7FFFFFFFFFFFFFFF)
+
+    def ids_for(lo_idx, n):
+        idx = (np.arange(lo_idx, lo_idx + n, dtype=np.int64)) * key_mult
+        return idx
+
+    @jax.jit
+    def prefill_step(shard, hi, lo, step):
+        valid = hashing.is_valid(hi, lo)
+        shard, _, _ = xla_ops.find_or_insert(spec, shard, hi, lo, valid, step)
+        return shard
+
+    prefill_batch = min(batch, 1 << 20)
+    t0 = time.perf_counter()
+    for i in range(0, n_live, prefill_batch):
+        n = min(prefill_batch, n_live - i)
+        ids = ids_for(i, n)
+        if n < prefill_batch:
+            ids = np.concatenate([ids, np.full(prefill_batch - n, hashing.EMPTY_ID)])
+        hi, lo = hashing.split_ids(ids)
+        shard = prefill_step(shard, jnp.asarray(hi), jnp.asarray(lo), jnp.int32(0))
+    jax.block_until_ready(shard.values)
+    log(f"prefill {n_live} rows in {time.perf_counter()-t0:.1f}s, "
+        f"load={float(jnp.sum(shard.cnt))/spec.capacity:.3f}")
+
+    # --- steady-state id stream (zipf-ish over live keys) --------------------
+    rng = np.random.default_rng(0)
+    def stream_batch():
+        # 80% hot head (10% of keys), 20% tail — CTR-like reuse pattern
+        hot = rng.integers(0, max(1, n_live // 10), size=int(batch * 0.8))
+        cold = rng.integers(0, n_live, size=batch - len(hot))
+        return np.concatenate([hot, cold]) * key_mult
+
+    @jax.jit
+    def train_cycle(shard, hi, lo, grad_seed, step):
+        uniq = dedup.unique_pairs(hi, lo, hi.shape[0])
+        shard, slot, _ = xla_ops.find_or_insert(spec, shard, uniq.hi, uniq.lo, uniq.valid, step)
+        rows = xla_ops.lookup_rows(spec, shard, slot)
+        out = rows[uniq.inverse]
+        # synthetic grads: keep data-dependent so nothing is DCE'd
+        g = out * 1e-3 + grad_seed
+        g_u = dedup.segment_sum_grads(g, uniq.inverse, uniq.hi.shape[0])
+        shard = optim.apply_sparse_grads(spec, shard, slot, g_u)
+        return shard, jnp.sum(out)
+
+    # warmup/compile
+    ids = stream_batch()
+    hi, lo = hashing.split_ids(ids)
+    hi, lo = jnp.asarray(hi), jnp.asarray(lo)
+    gseed = jnp.float32(1e-4)
+    shard, s0 = train_cycle(shard, hi, lo, gseed, jnp.int32(1))
+    jax.block_until_ready(s0)
+
+    batches = [hashing.split_ids(stream_batch()) for _ in range(steps)]
+    batches = [
+        (jax.device_put(jnp.asarray(h)), jax.device_put(jnp.asarray(l)))
+        for h, l in batches
+    ]
+    jax.block_until_ready(batches)
+    # Pipelined windows (async dispatch, one block per window), best of R:
+    # training runs pipelined, so steady-state throughput is the metric; the
+    # single shared host core suffers occasional multi-100ms stalls which can
+    # only inflate a window, so the best window is the honest reading.
+    windows = []
+    for _w in range(3):
+        t0 = time.perf_counter()
+        for i, (h, l) in enumerate(batches):
+            shard, acc = train_cycle(shard, h, l, gseed, jnp.int32(2 + i))
+        jax.block_until_ready(acc)
+        windows.append((time.perf_counter() - t0) / steps)
+    dt = min(windows)
+    ids_per_sec = batch / dt
+    log(f"dynamic: {ids_per_sec/1e6:.2f}M ids/s (best {dt*1e3:.2f} ms/step, "
+        f"windows {[f'{w*1e3:.1f}' for w in windows]})")
+
+    # --- speed-of-light baseline: static gather + scatter-add, same geometry -
+    values = shard.values  # reuse allocation
+
+    @jax.jit
+    def static_cycle(values, slot, grad_seed):
+        rows = xla_ops.gather_values(spec, values, slot)
+        g = rows * 1e-3 + grad_seed
+        values = xla_ops.scatter_add_values(spec, values, slot, -0.05 * g,
+                                            jnp.ones(slot.shape, bool))
+        return values, jnp.sum(rows)
+
+    slots_np = rng.integers(0, n_live, size=(steps, batch))
+    slot0 = jnp.asarray(slots_np[0], jnp.int32)
+    values, s1 = static_cycle(values, slot0, gseed)
+    jax.block_until_ready(s1)
+    slots = [jax.device_put(jnp.asarray(s, jnp.int32)) for s in slots_np]
+    jax.block_until_ready(slots)
+    windows = []
+    for _w in range(3):
+        t0 = time.perf_counter()
+        for s in slots:
+            values, acc = static_cycle(values, s, gseed)
+        jax.block_until_ready(acc)
+        windows.append((time.perf_counter() - t0) / steps)
+    dt_sol = min(windows)
+    sol_ids_per_sec = batch / dt_sol
+    log(f"static SOL: {sol_ids_per_sec/1e6:.2f}M ids/s (best {dt_sol*1e3:.2f} ms/step)")
+
+    print(json.dumps({
+        "metric": "lookup_update_ids_per_sec_per_chip",
+        "value": round(ids_per_sec, 1),
+        "unit": "ids/s",
+        "vs_baseline": round(ids_per_sec / sol_ids_per_sec, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,6 +63,11 @@ class PolicyConfig:
     def __post_init__(self):
         assert self.cms_width % LANES == 0, "cms_width must be a multiple of 128"
 
+    @property
+    def needs_scores(self) -> bool:
+        """freq/last maintenance is only paid when some policy consumes it."""
+        return self.evict_policy != "none" or self.admit_threshold > 1
+
 
 @dataclasses.dataclass(frozen=True)
 class TableConfig:

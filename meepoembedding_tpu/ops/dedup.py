@@ -25,6 +25,44 @@ class Unique(NamedTuple):
     count: jax.Array  # i32 scalar: number of uniques
 
 
+def sorted_run_sums(ks: jax.Array, vs: jax.Array):
+    """Sum equal-key runs of an ALREADY-SORTED (ks, vs) stream without any
+    scatter-add: prefix-sum + end-of-run differencing + unique-index
+    compaction. Returns (key_of_rank [n], totals [n, d], live [n]) where rank
+    r < num_runs holds run r's key and total.
+
+    XLA TPU lowers scatter-add with duplicate indices to a serialized
+    per-element loop (~200ns/element); everything here is vectorized."""
+    n = ks.shape[0]
+    if not jnp.issubdtype(vs.dtype, jnp.integer):
+        # float path accumulates in f32; int planes (keys!) stay exact in i32
+        vs = vs.astype(jnp.float32)
+    prefix = jnp.cumsum(vs, axis=0)
+    is_last = jnp.concatenate([ks[1:] != ks[:-1], jnp.ones((1,), bool)])
+    rank = (jnp.cumsum(is_last) - 1).astype(jnp.int32)
+    num_runs = jnp.sum(is_last).astype(jnp.int32)
+    at_rank = jnp.where(is_last, rank, n)
+    ends = jnp.zeros_like(prefix).at[at_rank].set(prefix, mode="drop", unique_indices=True)
+    key_of_rank = jnp.zeros_like(ks).at[at_rank].set(ks, mode="drop", unique_indices=True)
+    prev = jnp.concatenate([jnp.zeros_like(ends[:1]), ends[:-1]], axis=0)
+    totals = ends - prev
+    live = jnp.arange(n, dtype=jnp.int32) < num_runs
+    return key_of_rank, totals, live
+
+
+def sorted_segment_sum(values: jax.Array, seg: jax.Array, num_segments: int) -> jax.Array:
+    """Scatter-add-free segment_sum: sort by segment, sum runs, one
+    unique-index set into the output."""
+    order = jnp.argsort(seg)
+    ss = jnp.take(seg, order)
+    vs = jnp.take(values, order, axis=0)
+    key_of_rank, totals, live = sorted_run_sums(ss, vs)
+    out = jnp.zeros((num_segments,) + totals.shape[1:], jnp.float32)
+    return out.at[jnp.where(live, key_of_rank, num_segments)].set(
+        totals, mode="drop", unique_indices=True
+    )
+
+
 def unique_pairs(hi: jax.Array, lo: jax.Array, size: int) -> Unique:
     """Deduplicate id pairs to static capacity `size`.
 
@@ -47,11 +85,20 @@ def unique_pairs(hi: jax.Array, lo: jax.Array, size: int) -> Unique:
     is_new = jnp.concatenate(
         [jnp.ones((1,), bool), (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])]
     )
-    gid = jnp.cumsum(is_new).astype(jnp.int32) - 1  # [n] group id in sorted order
-    gid = jnp.minimum(gid, size - 1)  # overflow aliases the last slot
-    inverse = jnp.zeros((n,), jnp.int32).at[order].set(gid)
-    uh = jnp.full((size,), hashing.EMPTY_HI, jnp.int32).at[gid].set(sh)
-    ul = jnp.full((size,), hashing.EMPTY_LO, jnp.int32).at[gid].set(sl)
+    gid0 = jnp.cumsum(is_new).astype(jnp.int32) - 1  # [n] group id in sorted order
+    gid = jnp.minimum(gid0, size - 1)  # overflow aliases the last slot
+    # inverse[order[j]] = gid[j], via a second argsort instead of a 1-D
+    # scatter (XLA TPU serializes general scatters; sorts are vectorized)
+    inverse = jnp.take(gid, jnp.argsort(order))
+    # write each group's key at its first occurrence only (unique indices;
+    # overflow groups beyond `size` are dropped, not aliased-by-UB)
+    first_idx = jnp.where(is_new & (gid0 < size), gid0, size)
+    uh = jnp.full((size,), hashing.EMPTY_HI, jnp.int32).at[first_idx].set(
+        sh, mode="drop", unique_indices=True
+    )
+    ul = jnp.full((size,), hashing.EMPTY_LO, jnp.int32).at[first_idx].set(
+        sl, mode="drop", unique_indices=True
+    )
     valid = hashing.is_valid(uh, ul)
     count = jnp.sum(valid).astype(jnp.int32)
     return Unique(hi=uh, lo=ul, inverse=inverse, valid=valid, count=count)
@@ -60,4 +107,4 @@ def unique_pairs(hi: jax.Array, lo: jax.Array, size: int) -> Unique:
 def segment_sum_grads(grads: jax.Array, inverse: jax.Array, num_unique: int) -> jax.Array:
     """[n, dim] per-occurrence grads -> [U, dim] per-unique-id grads
     (the backward half of dedup, SURVEY.md §3.3)."""
-    return jax.ops.segment_sum(grads, inverse, num_segments=num_unique)
+    return sorted_segment_sum(grads, inverse, num_unique)

@@ -18,12 +18,33 @@ import jax.numpy as jnp
 
 from meepoembedding_tpu.config import OptimizerConfig
 from meepoembedding_tpu.table.layout import TableShard, TableSpec
+from meepoembedding_tpu.table.pallas_ops import combine_rows_by_vrow
 from meepoembedding_tpu.table.xla_ops import (
+    _expand_row_update,
     gather_bucket_plane,
     gather_values,
     scatter_add_values,
     scatter_bucket_plane,
 )
+
+
+def row_apply_delta(spec: TableSpec, plane, slot, delta, enabled):
+    """plane[rows of slot] += delta via gather + scatter-SET of whole storage
+    rows. XLA lowers scatter-ADD on a just-gathered buffer to a serialized
+    per-row RMW loop (measured 100x slower than its separate parts on TPU);
+    gathering the full 128-lane rows, adding in registers and scatter-SETTING
+    with unique indices stays on the fast vectorized path. Duplicate storage
+    rows (packed slots) are pre-combined to keep the set race-free."""
+    vrow, rowupd = _expand_row_update(spec, slot, delta.astype(jnp.float32))
+    if spec.dim <= 128:
+        en = enabled
+    else:
+        en = jnp.repeat(enabled, spec.rows_per_slot)
+    uvrow, combined = combine_rows_by_vrow(vrow, rowupd, en)
+    old = jnp.take(plane, jnp.clip(uvrow, 0), axis=0).astype(jnp.float32)
+    new = (old + combined).astype(plane.dtype)
+    idx = jnp.where(uvrow >= 0, uvrow, plane.shape[0])
+    return plane.at[idx].set(new, mode="drop", unique_indices=True)
 
 
 def apply_sparse_grads(
@@ -37,7 +58,7 @@ def apply_sparse_grads(
     kind = opt.kind
     if kind == "sgd":
         delta = -opt.learning_rate * grad
-        values = scatter_add_values(spec, shard.values, slot, delta, enabled)
+        values = row_apply_delta(spec, shard.values, slot, delta, enabled)
         return shard._replace(values=values)
 
     if kind == "rowwise_adagrad":
@@ -48,16 +69,16 @@ def apply_sparse_grads(
         a_new = a_old + g2
         accum_plane = scatter_bucket_plane(accum_plane, slot, a_new, enabled)
         scale = opt.learning_rate * jax.lax.rsqrt(a_new + opt.eps)
-        values = scatter_add_values(spec, shard.values, slot, -scale[:, None] * grad, enabled)
+        values = row_apply_delta(spec, shard.values, slot, -scale[:, None] * grad, enabled)
         return shard._replace(values=values, opt_rowwise=(accum_plane,))
 
     if kind == "adagrad":
         (accum_plane,) = shard.opt_fulldim
         a_old = gather_values(spec, accum_plane, slot).astype(jnp.float32)
         a_new = a_old + grad * grad
-        accum_plane = scatter_add_values(spec, accum_plane, slot, a_new - a_old, enabled)
+        accum_plane = row_apply_delta(spec, accum_plane, slot, a_new - a_old, enabled)
         delta = -opt.learning_rate * grad * jax.lax.rsqrt(a_new + opt.eps)
-        values = scatter_add_values(spec, shard.values, slot, delta, enabled)
+        values = row_apply_delta(spec, shard.values, slot, delta, enabled)
         return shard._replace(values=values, opt_fulldim=(accum_plane,))
 
     if kind == "adam":
@@ -69,10 +90,10 @@ def apply_sparse_grads(
         v_old = gather_values(spec, v_plane, slot).astype(jnp.float32)
         m_new = opt.beta1 * m_old + (1 - opt.beta1) * grad
         v_new = opt.beta2 * v_old + (1 - opt.beta2) * grad * grad
-        m_plane = scatter_add_values(spec, m_plane, slot, m_new - m_old, enabled)
-        v_plane = scatter_add_values(spec, v_plane, slot, v_new - v_old, enabled)
+        m_plane = row_apply_delta(spec, m_plane, slot, m_new - m_old, enabled)
+        v_plane = row_apply_delta(spec, v_plane, slot, v_new - v_old, enabled)
         delta = -opt.learning_rate * m_new * jax.lax.rsqrt(v_new + opt.eps * opt.eps)
-        values = scatter_add_values(spec, shard.values, slot, delta, enabled)
+        values = row_apply_delta(spec, shard.values, slot, delta, enabled)
         return shard._replace(values=values, opt_fulldim=(m_plane, v_plane))
 
     raise ValueError(f"unknown sparse optimizer: {kind}")

@@ -51,14 +51,26 @@ class ProbeResult(NamedTuple):
 def probe(spec: TableSpec, shard: TableShard, uh, ul, valid) -> ProbeResult:
     """Find slots for (deduped) keys. Linear probing over buckets; a chain
     ends at the first bucket that has free space and was never overflowed
-    (the sticky `ovf` flag keeps this sound after evictions punch holes)."""
+    (the sticky `ovf` flag keeps this sound after evictions punch holes).
+
+    Probing rounds run under `lax.while_loop` with a global all-resolved
+    early exit: at sane load factors almost every batch resolves in ONE
+    round, so the typical cost is one key-plane row gather + one 128-wide
+    compare — the data-dependent trip count is legal in XLA (unlike
+    data-dependent shapes) and saves (R-1)x the probe work."""
     nb = spec.num_buckets
     b0 = hashing.bucket_of(uh, ul, nb)
     n = uh.shape[0]
-    slot = jnp.full((n,), -1, jnp.int32)
-    found = jnp.zeros((n,), bool)
-    resolved = ~valid
-    for r in range(spec.max_probe_rounds):
+    # chain-terminating buckets (free space, never overflowed), precomputed
+    # once: cnt/ovf only change on insert, which happens after probing
+    can_stop = (shard.cnt < LANES) & (shard.ovf == 0)
+
+    def cond(c):
+        r, resolved, _, _ = c
+        return (r < spec.max_probe_rounds) & ~resolved.all()
+
+    def body(c):
+        r, resolved, slot, found = c
         b = (b0 + r) & (nb - 1)
         kh = jnp.take(shard.key_hi, b, axis=0)  # [n, 128]
         kl = jnp.take(shard.key_lo, b, axis=0)
@@ -68,11 +80,16 @@ def probe(spec: TableSpec, shard: TableShard, uh, ul, valid) -> ProbeResult:
         newly = ~resolved & hit
         slot = jnp.where(newly, b * LANES + lane, slot)
         found = found | newly
-        has_space = jnp.take(shard.cnt, b) < LANES
-        never_ovf = jnp.take(shard.ovf, b) == 0
-        resolved = resolved | hit | (has_space & never_ovf)
-        if r == spec.max_probe_rounds - 1:
-            break
+        resolved = resolved | hit | jnp.take(can_stop, b)
+        return (r + 1, resolved, slot, found)
+
+    init = (
+        jnp.int32(0),
+        ~valid,
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,), bool),
+    )
+    _, _, slot, found = jax.lax.while_loop(cond, body, init)
     return ProbeResult(slot=slot, found=found)
 
 
@@ -104,11 +121,13 @@ def plan_insert(spec: TableSpec, shard: TableShard, uh, ul, want) -> InsertPlan:
     nb = spec.num_buckets
     n = uh.shape[0]
     b0 = hashing.bucket_of(uh, ul, nb)
-    pending = want
-    slot = jnp.full((n,), -1, jnp.int32)
-    cnt, ovf = shard.cnt, shard.ovf
-    claimed = jnp.zeros((nb,), jnp.int32)
-    for r in range(spec.max_probe_rounds):
+
+    def cond(c):
+        r, pending, _, _, _, _ = c
+        return (r < spec.max_probe_rounds) & pending.any()
+
+    def body(c):
+        r, pending, slot, cnt, ovf, claimed = c
         b = (b0 + r) & (nb - 1)
         sort_key = jnp.where(pending, b, nb)  # nb == "not pending" sentinel
         order, rank_sorted = _segmented_rank(sort_key)
@@ -129,22 +148,50 @@ def plan_insert(spec: TableSpec, shard: TableShard, uh, ul, want) -> InsertPlan:
         claimed = claimed.at[jnp.where(ok, b, nb)].add(1, mode="drop")
         cnt = cnt.at[jnp.where(ok, b, nb)].add(1, mode="drop")
         ovf = ovf.at[jnp.where(fail, b, nb)].max(1, mode="drop")
-        pending = fail
+        return (r + 1, fail, slot, cnt, ovf, claimed)
+
+    init = (
+        jnp.int32(0),
+        want,
+        jnp.full((n,), -1, jnp.int32),
+        shard.cnt,
+        shard.ovf,
+        jnp.zeros((nb,), jnp.int32),
+    )
+    # Early exit: zero rounds when nothing wants insertion (the steady-state
+    # all-hit step), k rounds when the deepest pending key needs k.
+    _, _, slot, cnt, ovf, _ = jax.lax.while_loop(cond, body, init)
     return InsertPlan(slot=slot, ok=want & (slot >= 0), cnt=cnt, ovf=ovf)
 
 
 # --- value storage access (row-granular; pack/unpack is lane-local) ---------
+
+def _window_select_mats(spec: TableSpec):
+    """Constant [128, dim] matrices E_p extracting lane window p, and their
+    transposes for the reverse (expand) direction. Lane-window pack/unpack as
+    masked matmuls keeps everything in 128-lane space — a naive
+    reshape-to-[n, pack, dim] forces a pack-x relayout (the minor dim gets
+    re-padded to 128 lanes), measured 775x slower on TPU."""
+    d, p = spec.dim, spec.pack
+    eye = jnp.eye(LANES, dtype=jnp.float32)
+    return [eye[:, i * d : (i + 1) * d] for i in range(p)]
+
 
 def gather_values(spec: TableSpec, plane: jax.Array, slot: jax.Array) -> jax.Array:
     """[n] slots -> [n, dim] rows from a value-shaped plane. Caller masks
     invalid slots (clip-mode gather reads row 0 for them)."""
     n = slot.shape[0]
     s = jnp.clip(slot, 0)
-    if spec.dim <= LANES:
+    if spec.dim == LANES:
+        return jnp.take(plane, s, axis=0).astype(plane.dtype)
+    if spec.dim < LANES:
         vrow, sub = s // spec.pack, s % spec.pack
-        g = jnp.take(plane, vrow, axis=0)  # [n, 128]
-        g = g.reshape(n, spec.pack, spec.dim)
-        return jnp.take_along_axis(g, sub[:, None, None], axis=1)[:, 0, :]
+        g = jnp.take(plane, vrow, axis=0).astype(jnp.float32)  # [n, 128]
+        out = jnp.zeros((n, spec.dim), jnp.float32)
+        for p, ep in enumerate(_window_select_mats(spec)):
+            m = (sub == p).astype(jnp.float32)[:, None]
+            out = out + jnp.dot(g * m, ep, preferred_element_type=jnp.float32)
+        return out.astype(plane.dtype)
     rps = spec.rows_per_slot
     idx = s[:, None] * rps + jnp.arange(rps, dtype=jnp.int32)[None, :]
     g = jnp.take(plane, idx.reshape(-1), axis=0)  # [n*rps, 128]
@@ -156,12 +203,15 @@ def _expand_row_update(spec: TableSpec, slot, upd):
     with zeros outside each slot's lane window. Safe for `.add` scatters."""
     n = slot.shape[0]
     s = jnp.clip(slot, 0)
-    if spec.dim <= LANES:
+    if spec.dim == LANES:
+        return s, upd
+    if spec.dim < LANES:
         vrow, sub = s // spec.pack, s % spec.pack
-        onehot = (
-            jnp.arange(spec.pack, dtype=jnp.int32)[None, :] == sub[:, None]
-        )  # [n, pack]
-        rowupd = (onehot[:, :, None] * upd[:, None, :]).reshape(n, LANES)
+        upd = upd.astype(jnp.float32)
+        rowupd = jnp.zeros((n, LANES), jnp.float32)
+        for p, ep in enumerate(_window_select_mats(spec)):
+            m = (sub == p).astype(jnp.float32)[:, None]
+            rowupd = rowupd + jnp.dot(upd * m, ep.T, preferred_element_type=jnp.float32)
         return vrow, rowupd
     rps = spec.rows_per_slot
     idx = s[:, None] * rps + jnp.arange(rps, dtype=jnp.int32)[None, :]
@@ -180,41 +230,99 @@ def scatter_add_values(spec: TableSpec, plane, slot, upd, enabled) -> jax.Array:
 
 
 def scatter_set_values(spec: TableSpec, plane, slot, rows, enabled) -> jax.Array:
-    """plane[slot] = rows (element-granular; used on the rare insert path —
-    a row-granular set would clobber sibling packed lanes)."""
+    """plane[slot] = rows. Row-granular read-modify-write: expand each row
+    into its 128-lane window, combine slots sharing a storage row (windows
+    are disjoint), merge with the gathered old rows, scatter-SET unique.
+    The obvious element-granular scatter serializes on TPU (~200ns/elem)."""
     n = slot.shape[0]
     s = jnp.clip(slot, 0)
-    if spec.dim <= LANES:
-        vrow, sub = s // spec.pack, s % spec.pack
-        cols = sub[:, None] * spec.dim + jnp.arange(spec.dim, dtype=jnp.int32)[None, :]
-        vrow = jnp.where(enabled, vrow, plane.shape[0])
-        return plane.at[vrow[:, None], cols].set(rows.astype(plane.dtype), mode="drop")
-    rps = spec.rows_per_slot
-    idx = s[:, None] * rps + jnp.arange(rps, dtype=jnp.int32)[None, :]
-    idx = jnp.where(enabled[:, None], idx, plane.shape[0]).reshape(-1)
-    return plane.at[idx].set(rows.astype(plane.dtype).reshape(n * rps, LANES), mode="drop")
+    if spec.dim > LANES:
+        rps = spec.rows_per_slot
+        idx = s[:, None] * rps + jnp.arange(rps, dtype=jnp.int32)[None, :]
+        idx = jnp.where(enabled[:, None], idx, plane.shape[0]).reshape(-1)
+        return plane.at[idx].set(
+            rows.astype(plane.dtype).reshape(n * rps, LANES),
+            mode="drop",
+            unique_indices=True,
+        )
+    from meepoembedding_tpu.table.pallas_ops import combine_rows_by_vrow
+
+    vrow, rowvals = _expand_row_update(spec, slot, rows.astype(jnp.float32))
+    sub = s % spec.pack
+    d = spec.dim
+    window = (jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 1) // d) == sub[:, None]
+    marks = jnp.where(window, 1.0, 0.0)
+    both = jnp.concatenate([rowvals, marks], axis=1)
+    ub, comb = combine_rows_by_vrow(vrow, both, enabled)
+    new_vals, mask = comb[:, :LANES], comb[:, LANES:] > 0
+    old = jnp.take(plane, jnp.clip(ub, 0), axis=0).astype(jnp.float32)
+    merged = jnp.where(mask, new_vals, old).astype(plane.dtype)
+    idx = jnp.where(ub >= 0, ub, plane.shape[0])
+    return plane.at[idx].set(merged, mode="drop", unique_indices=True)
 
 
 def scatter_bucket_plane(plane, slot, val, enabled):
-    """Set a [nb, 128]-shaped plane at slot positions (freq/last/keys/accum)."""
+    """plane[(slot // 128, slot %% 128)] = val for a [nb, 128] plane
+    (keys/freq/last/accum), as a bucket-row read-modify-write:
+
+      expand each (lane, val) to a one-hot 128-lane row, combine rows of the
+      same bucket (slots are unique, so lanes never collide), gather the live
+      bucket rows, merge, scatter-SET with unique indices.
+
+    XLA lowers 2-D elementwise scatters to a serialized per-element loop
+    (~200ns/element — the dominant cost of the naive hot path); this
+    formulation is sorts/gathers/vector-selects only."""
+    n = slot.shape[0]
     b, lane = slot // LANES, slot % LANES
-    b = jnp.where(enabled, b, plane.shape[0])
-    return plane.at[b, lane].set(val, mode="drop")
+    onehot = jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 1) == lane[:, None]
+    # accumulate in the plane's own dtype: int planes (keys) must stay exact
+    acc_dtype = plane.dtype if jnp.issubdtype(plane.dtype, jnp.integer) else jnp.float32
+    val = jnp.broadcast_to(val, (n,)).astype(acc_dtype)
+    rows = jnp.where(onehot, val[:, None], jnp.zeros((), acc_dtype))
+    marks = jnp.where(onehot, jnp.ones((), acc_dtype), jnp.zeros((), acc_dtype))
+    both = jnp.concatenate([rows, marks], axis=1)  # combine in one pass
+    from meepoembedding_tpu.table.pallas_ops import combine_rows_by_vrow
+
+    ub, comb = combine_rows_by_vrow(b, both, enabled)
+    new_vals, mask = comb[:, :LANES], comb[:, LANES:] > 0
+    old = jnp.take(plane, jnp.clip(ub, 0), axis=0).astype(acc_dtype)
+    merged = jnp.where(mask, new_vals, old).astype(plane.dtype)
+    idx = jnp.where(ub >= 0, ub, plane.shape[0])
+    return plane.at[idx].set(merged, mode="drop", unique_indices=True)
+
+
+def scatter_add_bucket_plane(plane, slot, val, enabled):
+    """plane[(slot // 128, slot %% 128)] += val, same row-RMW scheme."""
+    n = slot.shape[0]
+    b, lane = slot // LANES, slot % LANES
+    onehot = jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 1) == lane[:, None]
+    acc_dtype = plane.dtype if jnp.issubdtype(plane.dtype, jnp.integer) else jnp.float32
+    val = jnp.broadcast_to(val, (n,)).astype(acc_dtype)
+    rows = jnp.where(onehot, val[:, None], jnp.zeros((), acc_dtype))
+    from meepoembedding_tpu.table.pallas_ops import combine_rows_by_vrow
+
+    ub, comb = combine_rows_by_vrow(b, rows, enabled)
+    old = jnp.take(plane, jnp.clip(ub, 0), axis=0).astype(acc_dtype)
+    merged = (old + comb.astype(acc_dtype)).astype(plane.dtype)
+    idx = jnp.where(ub >= 0, ub, plane.shape[0])
+    return plane.at[idx].set(merged, mode="drop", unique_indices=True)
 
 
 def gather_bucket_plane(plane, slot):
+    """plane[(slot // 128, slot %% 128)] as a row gather + lane-mask reduce
+    (elementwise 2-D advanced indexing hits XLA's slow scatter/gather path)."""
     b, lane = jnp.clip(slot, 0) // LANES, jnp.clip(slot, 0) % LANES
-    return plane[b, lane]
+    rows = jnp.take(plane, b, axis=0)  # [n, 128]
+    onehot = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) == lane[:, None]
+    return jnp.sum(jnp.where(onehot, rows, 0), axis=1)
 
 
 # --- composite ops -----------------------------------------------------------
 
 def touch(shard: TableShard, slot, enabled, step) -> TableShard:
     """Record hits: freq += 1, last = step (SURVEY.md C10 score maintenance)."""
-    b, lane = slot // LANES, slot % LANES
-    b = jnp.where(enabled, b, shard.freq.shape[0])
-    freq = shard.freq.at[b, lane].add(1, mode="drop")
-    last = shard.last.at[b, lane].set(step, mode="drop")
+    freq = scatter_add_bucket_plane(shard.freq, slot, 1, enabled)
+    last = scatter_bucket_plane(shard.last, slot, step, enabled)
     return shard._replace(freq=freq, last=last)
 
 
@@ -246,21 +354,43 @@ def find_or_insert(
     cms, admit = cms_admit(spec, shard.cms, uh, ul, miss)
     plan = plan_insert(spec, shard, uh, ul, admit)
 
-    key_hi = scatter_bucket_plane(shard.key_hi, plan.slot, uh, plan.ok)
-    key_lo = scatter_bucket_plane(shard.key_lo, plan.slot, ul, plan.ok)
-    freq = scatter_bucket_plane(shard.freq, plan.slot, jnp.ones_like(uh), plan.ok)
-    last = scatter_bucket_plane(shard.last, plan.slot, jnp.full_like(uh, step), plan.ok)
-    init_rows = hashing.default_rows(uh, ul, spec.dim, spec.initializer_scale, spec.dtype)
-    values = scatter_set_values(spec, shard.values, plan.slot, init_rows, plan.ok)
-    opt_rowwise = tuple(
-        scatter_bucket_plane(
-            p, plan.slot, jnp.full_like(p[0, 0], spec.optimizer.initial_accumulator), plan.ok
+    def do_insert_writes(planes):
+        key_hi, key_lo, freq, last, values, opt_rowwise, opt_fulldim = planes
+        key_hi = scatter_bucket_plane(key_hi, plan.slot, uh, plan.ok)
+        key_lo = scatter_bucket_plane(key_lo, plan.slot, ul, plan.ok)
+        freq = scatter_bucket_plane(freq, plan.slot, jnp.ones_like(uh), plan.ok)
+        last = scatter_bucket_plane(last, plan.slot, jnp.full_like(uh, step), plan.ok)
+        init_rows = hashing.default_rows(
+            uh, ul, spec.dim, spec.initializer_scale, spec.dtype
         )
-        for p in shard.opt_rowwise
-    )
-    opt_fulldim = tuple(
-        scatter_set_values(spec, p, plan.slot, jnp.zeros_like(init_rows), plan.ok)
-        for p in shard.opt_fulldim
+        values = scatter_set_values(spec, values, plan.slot, init_rows, plan.ok)
+        opt_rowwise = tuple(
+            scatter_bucket_plane(
+                p, plan.slot, jnp.float32(spec.optimizer.initial_accumulator), plan.ok
+            )
+            for p in opt_rowwise
+        )
+        opt_fulldim = tuple(
+            scatter_set_values(spec, p, plan.slot, jnp.zeros_like(init_rows), plan.ok)
+            for p in opt_fulldim
+        )
+        return key_hi, key_lo, freq, last, values, opt_rowwise, opt_fulldim
+
+    # All-hit batches (the steady serving/training state) skip the whole
+    # insert-write block at runtime.
+    key_hi, key_lo, freq, last, values, opt_rowwise, opt_fulldim = jax.lax.cond(
+        plan.ok.any(),
+        do_insert_writes,
+        lambda planes: planes,
+        (
+            shard.key_hi,
+            shard.key_lo,
+            shard.freq,
+            shard.last,
+            shard.values,
+            shard.opt_rowwise,
+            shard.opt_fulldim,
+        ),
     )
 
     n_hit = jnp.sum(pr.found).astype(jnp.int32)
@@ -290,7 +420,8 @@ def find_or_insert(
         cms=cms,
     )
     slot = jnp.where(pr.found, pr.slot, plan.slot)
-    shard = touch(shard, jnp.where(pr.found, pr.slot, -1), pr.found, step)
+    if spec.policy.needs_scores:  # skip score upkeep when nothing consumes it
+        shard = touch(shard, jnp.where(pr.found, pr.slot, -1), pr.found, step)
     return shard, slot, pr.found
 
 

@@ -74,7 +74,7 @@ class TestFindOrInsert:
         shard, slot, _ = fi(spec, shard, ids)
         rows = xla_ops.lookup_rows(spec, shard, slot)
         expect = hashing.default_rows(jnp.asarray(hi), jnp.asarray(lo), 16, spec.initializer_scale)
-        np.testing.assert_allclose(np.asarray(rows), np.asarray(expect), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(rows), np.asarray(expect), rtol=1e-4, atol=1e-8)
 
     def test_invalid_ids_ignored(self):
         spec = make_spec()
@@ -105,7 +105,7 @@ class TestFindOrInsert:
         shard, slot, _ = fi(spec, shard, ids)
         rows = xla_ops.lookup_rows(spec, shard, slot)
         expect = hashing.default_rows(jnp.asarray(hi), jnp.asarray(lo), 256, spec.initializer_scale)
-        np.testing.assert_allclose(np.asarray(rows), np.asarray(expect), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(rows), np.asarray(expect), rtol=1e-4, atol=1e-8)
 
 
 class TestProbeChains:
@@ -139,7 +139,8 @@ class TestOracleParity:
             ids = rng.choice(pool, size=40)
             rows_dev = np.asarray(table.lookup(ids))
             rows_ora = oracle.lookup(ids, step=step)
-            np.testing.assert_allclose(rows_dev, rows_ora, atol=1e-5)
+            # atol: f32 vs f64 oracle + reassociated sums (sorted_run_sums)
+            np.testing.assert_allclose(rows_dev, rows_ora, atol=5e-5)
             grads = rng.normal(size=(40, dim)).astype(np.float32)
             table.apply_grads(jnp.asarray(grads))
             oracle.apply_grads(ids, grads)
