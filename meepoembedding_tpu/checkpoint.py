@@ -1,0 +1,281 @@
+"""Elastic sharded checkpoints (SURVEY.md C19, §3.5; BASELINE config 5).
+
+The reference class checkpoints its native KV tables by streaming (key, value,
+optimizer-slot) tuples per shard (README.md:2 "distributed ... systems"); the
+TPU build streams each shard's LIVE rows to one `.npz` of flat arrays plus a
+JSON manifest, then restores by REHASHING every key to its new owner — so a
+checkpoint written with N shards loads onto M devices (elastic reshard).
+
+Layout of a checkpoint directory:
+
+  manifest.json       {"format", "num_shards", "dim", "capacity", "step",
+                       "value_dtype", "optimizer", "counts", "extras"}
+  shard-00000.npz     ids i64[n], values f32[n,dim], freq i32[n], last i32[n],
+                      accum f32[n] (rowwise slot), full0.. f32[n,dim] (fulldim
+                      slots: adagrad accumulator / adam moments)
+  dense-*.npz         optional dense pytrees (tower params, optimizer state)
+
+Restore is bit-stable regardless of shard count because row placement inside
+a shard is a pure function of the key (table/hashing.py) and row payloads are
+carried verbatim.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from functools import partial
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from meepoembedding_tpu.table import hashing, xla_ops
+from meepoembedding_tpu.table.layout import TableShard, TableSpec, alloc_shard
+
+FORMAT_VERSION = 1
+_RESTORE_BATCH = 1 << 16
+
+
+# --- shard export ------------------------------------------------------------
+
+def export_shard_arrays(
+    spec: TableSpec, shard: TableShard, chunk_buckets: int = 8192
+) -> dict:
+    """All live rows of one shard as host numpy arrays (the §3.5 stream)."""
+    nb = spec.num_buckets
+    parts: List[dict] = []
+    for b0 in range(0, nb, chunk_buckets):
+        b1 = min(nb, b0 + chunk_buckets)
+        kh = np.asarray(shard.key_hi[b0:b1])
+        kl = np.asarray(shard.key_lo[b0:b1])
+        live = ~((kh == hashing.EMPTY_HI) & (kl == hashing.EMPTY_LO))
+        if not live.any():
+            continue
+        bidx, lane = np.nonzero(live)
+        slots = jnp.asarray((b0 + bidx) * 128 + lane, jnp.int32)
+        part = {
+            "ids": hashing.join_ids(kh[bidx, lane], kl[bidx, lane]),
+            "values": np.asarray(
+                xla_ops.gather_values(spec, shard.values, slots), np.float32
+            ),
+            "freq": np.asarray(shard.freq[b0:b1])[bidx, lane],
+            "last": np.asarray(shard.last[b0:b1])[bidx, lane],
+        }
+        if shard.opt_rowwise:
+            part["accum"] = np.asarray(shard.opt_rowwise[0][b0:b1])[bidx, lane]
+        for j, plane in enumerate(shard.opt_fulldim):
+            part[f"full{j}"] = np.asarray(
+                xla_ops.gather_values(spec, plane, slots), np.float32
+            )
+        parts.append(part)
+    if not parts:
+        out = {
+            "ids": np.zeros((0,), np.int64),
+            "values": np.zeros((0, spec.dim), np.float32),
+            "freq": np.zeros((0,), np.int32),
+            "last": np.zeros((0,), np.int32),
+        }
+        if spec.optimizer.num_rowwise_slots():
+            out["accum"] = np.zeros((0,), np.float32)
+        for j in range(spec.optimizer.num_fulldim_slots()):
+            out[f"full{j}"] = np.zeros((0, spec.dim), np.float32)
+        return out
+    return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+
+
+def _atomic_write(path: str, write_fn):
+    d = os.path.dirname(path) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-ckpt-")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            write_fn(f)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def save(
+    path: str,
+    spec: TableSpec,
+    shards: Sequence[TableShard],
+    step: int,
+    extras: Optional[dict] = None,
+    dense: Optional[dict] = None,
+) -> dict:
+    """Write a checkpoint directory from an in-process list of shards
+    (single-process convenience over `save_sharded`)."""
+    return save_sharded(
+        path, spec, dict(enumerate(shards)), len(shards), step,
+        extras=extras, dense=dense,
+    )
+
+
+def save_sharded(
+    path: str,
+    spec: TableSpec,
+    shards_by_id: dict,
+    num_shards: int,
+    step: int,
+    extras: Optional[dict] = None,
+    dense: Optional[dict] = None,
+    is_coordinator: bool = True,
+    barrier=lambda name="": None,
+) -> dict:
+    """Multi-process checkpoint protocol (SURVEY.md C19, §3.5): every process
+    writes its own shards' files; after a barrier the coordinator writes the
+    manifest — the COMMIT POINT (a crashed save never corrupts an existing
+    checkpoint: all files land via rename, manifest last). `dense` pytrees
+    are replicated, so only the coordinator writes them."""
+    os.makedirs(path, exist_ok=True)
+    for i, shard in shards_by_id.items():
+        arrs = export_shard_arrays(spec, shard)
+        _atomic_write(
+            os.path.join(path, f"shard-{i:05d}.npz"),
+            lambda f, arrs=arrs: np.savez(f, **arrs),
+        )
+    dense = dense or {}
+    if is_coordinator:
+        for name, tree in dense.items():
+            leaves, _ = jax.tree_util.tree_flatten(tree)
+            flat = {f"leaf{j}": np.asarray(x) for j, x in enumerate(leaves)}
+            _atomic_write(
+                os.path.join(path, f"dense-{name}.npz"),
+                lambda f, flat=flat: np.savez(f, **flat),
+            )
+    barrier("ckpt-shards-written")
+    if is_coordinator:
+        counts = []
+        for i in range(num_shards):
+            with np.load(os.path.join(path, f"shard-{i:05d}.npz")) as z:
+                counts.append(int(z["ids"].shape[0]))
+        manifest = {
+            "format": FORMAT_VERSION,
+            "num_shards": num_shards,
+            "dim": spec.dim,
+            "capacity_per_shard": spec.capacity,
+            "step": int(step),
+            "value_dtype": spec.value_dtype,
+            "optimizer": {
+                "kind": spec.optimizer.kind,
+                "rowwise_slots": spec.optimizer.num_rowwise_slots(),
+                "fulldim_slots": spec.optimizer.num_fulldim_slots(),
+            },
+            "counts": counts,
+            "dense": sorted(dense),
+            "extras": extras or {},
+        }
+        _atomic_write(
+            os.path.join(path, "manifest.json"),
+            lambda f: f.write(json.dumps(manifest, indent=1).encode()),
+        )
+    barrier("ckpt-manifest-committed")
+    if not is_coordinator:
+        manifest = read_manifest(path)
+    return manifest
+
+
+# --- restore -----------------------------------------------------------------
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["format"] <= FORMAT_VERSION, f"checkpoint from a newer format: {m['format']}"
+    return m
+
+
+def iter_rows(path: str) -> Iterator[dict]:
+    """Stream the checkpoint's shard files one at a time (bounded memory)."""
+    m = read_manifest(path)
+    for i in range(m["num_shards"]):
+        with np.load(os.path.join(path, f"shard-{i:05d}.npz")) as z:
+            yield {k: z[k] for k in z.files}
+
+
+def load_dense(path: str, name: str, template):
+    """Restore a dense pytree saved under `name`, shaped like `template`."""
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    with np.load(os.path.join(path, f"dense-{name}.npz")) as z:
+        assert len(z.files) == len(leaves), (
+            f"dense '{name}': {len(z.files)} leaves in file, template has {len(leaves)}"
+        )
+        new = [
+            jnp.asarray(z[f"leaf{j}"], leaves[j].dtype) for j in range(len(leaves))
+        ]
+    return jax.tree_util.tree_unflatten(treedef, new)
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def _restore_insert(spec, shard, hi, lo, rows, valid, step, freq, last, accum, fulldim):
+    return xla_ops.insert_rows(
+        spec, shard, hi, lo, rows, valid, step, freq=freq, accum=accum,
+        fulldim=fulldim if fulldim else None, last=last,
+    )
+
+
+def restore_shards(
+    spec: TableSpec,
+    path: str,
+    num_shards: int,
+    batch: int = _RESTORE_BATCH,
+    only_ids: Optional[set] = None,
+) -> Tuple[List[Optional[TableShard]], dict]:
+    """Rebuild `num_shards` fresh shards from a checkpoint written with ANY
+    shard count (elastic reshard, §3.5): every saved key is rehashed to its
+    new owner and bulk-inserted. `only_ids` restricts materialization to this
+    process's shards (multi-process restore) — others stay None. Returns
+    (shards, manifest)."""
+    m = read_manifest(path)
+    assert m["dim"] == spec.dim, f"dim mismatch: ckpt {m['dim']} vs spec {spec.dim}"
+    assert m["optimizer"]["kind"] == spec.optimizer.kind, (
+        f"optimizer mismatch: ckpt {m['optimizer']['kind']} vs {spec.optimizer.kind}"
+    )
+    if m.get("counts"):
+        # right-size the insert batch: tiny checkpoints shouldn't pay a
+        # 64K-padded compile+insert (dominant restore cost for small tables)
+        total = max(1, sum(m["counts"]))
+        b = 1024
+        while b < min(batch, total):
+            b *= 2
+        batch = min(batch, b)
+    wanted = set(range(num_shards)) if only_ids is None else set(only_ids)
+    shards: List[Optional[TableShard]] = [
+        alloc_shard(spec) if i in wanted else None for i in range(num_shards)
+    ]
+    n_full = spec.optimizer.num_fulldim_slots()
+    step = m["step"]
+
+    for data in iter_rows(path):
+        ids = data["ids"]
+        if ids.shape[0] == 0:
+            continue
+        hi_np, lo_np = hashing.split_ids(ids)
+        owner = np.asarray(hashing.owner_of(jnp.asarray(hi_np), jnp.asarray(lo_np), num_shards))
+        for s in wanted:
+            sel = np.nonzero(owner == s)[0]
+            for o0 in range(0, len(sel), batch):
+                idx = sel[o0 : o0 + batch]
+                n = len(idx)
+                pad = batch - n
+                def pick(a, fill=0):
+                    x = a[idx]
+                    if pad:
+                        x = np.concatenate(
+                            [x, np.full((pad,) + x.shape[1:], fill, x.dtype)]
+                        )
+                    return jnp.asarray(x)
+                hi = pick(hi_np, hashing.EMPTY_HI)
+                lo = pick(lo_np, hashing.EMPTY_LO)
+                valid = jnp.arange(batch) < n
+                accum = pick(data["accum"]) if "accum" in data else None
+                fulldim = tuple(pick(data[f"full{j}"]) for j in range(n_full))
+                shards[s], ok = _restore_insert(
+                    spec, shards[s], hi, lo, pick(data["values"]), valid,
+                    jnp.int32(step), pick(data["freq"]), pick(data["last"]),
+                    accum, fulldim,
+                )
+    return shards, m

@@ -1,0 +1,357 @@
+"""CLI entry points (SURVEY.md C20/C21, L7): `train`, `bench-lookup`,
+`bench-update`, `ckpt-inspect` behind one argparse front end.
+
+Config layering (C21): frozen-dataclass defaults <- YAML file (--config)
+<- dotted CLI overrides (`--set table.capacity=1048576 run.steps=200`).
+
+  python -m meepoembedding_tpu train --data synthetic --set run.steps=100
+  python -m meepoembedding_tpu bench-lookup --rows 1e6
+  python -m meepoembedding_tpu ckpt-inspect /path/to/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+from meepoembedding_tpu.config import (
+    ModelConfig,
+    OptimizerConfig,
+    PolicyConfig,
+    RunConfig,
+    TableConfig,
+)
+
+
+# --- config layering (C21) -----------------------------------------------------
+
+def _coerce(value: str, field_type):
+    import typing
+
+    if field_type in (int, "int"):
+        return int(float(value))  # allow 1e6
+    if field_type in (float, "float"):
+        return float(value)
+    if field_type in (bool, "bool"):
+        return value.lower() in ("1", "true", "yes")
+    origin = typing.get_origin(field_type)
+    if origin in (tuple, list):
+        inner = typing.get_args(field_type)[0]
+        return tuple(_coerce(v, inner) for v in value.split(",") if v != "")
+    if origin is typing.Union:  # Optional[...]
+        args = [a for a in typing.get_args(field_type) if a is not type(None)]
+        if value.lower() in ("none", "null", ""):
+            return None
+        return _coerce(value, args[0])
+    return value
+
+
+def _apply_overrides(cfg, overrides: dict):
+    """Apply {dotted.path: value} onto a frozen dataclass, returning a copy."""
+    direct = {}
+    nested: dict = {}
+    for k, v in overrides.items():
+        head, _, rest = k.partition(".")
+        if rest:
+            nested.setdefault(head, {})[rest] = v
+        else:
+            direct[head] = v
+    import typing
+
+    fields = {f.name: f for f in dataclasses.fields(cfg)}
+    hints = typing.get_type_hints(type(cfg))  # resolves string annotations
+    updates = {}
+    for k, v in direct.items():
+        if k not in fields:
+            raise KeyError(f"{type(cfg).__name__} has no field '{k}'")
+        if isinstance(v, str):
+            v = _coerce(v, hints.get(k, str))
+        elif isinstance(v, list):  # YAML sequences -> tuple fields
+            v = tuple(v)
+        updates[k] = v
+    for k, sub in nested.items():
+        if k not in fields:
+            raise KeyError(f"{type(cfg).__name__} has no field '{k}'")
+        updates[k] = _apply_overrides(getattr(cfg, k), sub)
+    return dataclasses.replace(cfg, **updates)
+
+
+def load_configs(
+    config_path: Optional[str] = None, sets: Optional[list] = None
+) -> tuple:
+    """-> (RunConfig, TableConfig, ModelConfig) from defaults + YAML + --set."""
+    layers = {"run": {}, "table": {}, "model": {}}
+    if config_path:
+        import yaml
+
+        with open(config_path) as f:
+            doc = yaml.safe_load(f) or {}
+        for section in layers:
+            for k, v in (doc.get(section) or {}).items():
+                layers[section][k] = v
+    for item in sets or []:
+        k, _, v = item.partition("=")
+        if not _:
+            raise ValueError(f"--set expects key=value, got '{item}'")
+        section, _, rest = k.partition(".")
+        if section not in layers:
+            raise KeyError(f"--set section must be run/table/model, got '{section}'")
+        layers[section][rest] = v
+
+    def build(cls, d):
+        cfg = cls()
+        flat = {}
+
+        def flatten(prefix, dd):
+            for k, v in dd.items():
+                if isinstance(v, dict):
+                    flatten(f"{prefix}{k}.", v)
+                else:
+                    flat[f"{prefix}{k}"] = v
+
+        flatten("", d)
+        return _apply_overrides(cfg, flat)
+
+    return (
+        build(RunConfig, layers["run"]),
+        build(TableConfig, layers["table"]),
+        build(ModelConfig, layers["model"]),
+    )
+
+
+def _make_spill(args, table_cfg):
+    if not getattr(args, "spill", None) or args.spill == "none":
+        return None
+    from meepoembedding_tpu.backends import make_backend
+    from meepoembedding_tpu.table.layout import TableSpec
+    from meepoembedding_tpu.tiering import SpillCodec
+
+    spec = TableSpec.from_config(table_cfg)
+    kwargs = {}
+    if args.spill == "disk":
+        kwargs["path"] = args.spill_path or "/tmp/meepo_spill.log"
+    if args.spill == "redis":
+        kwargs["host"], _, port = (args.spill_addr or "127.0.0.1:6379").partition(":")
+        kwargs["port"] = int(port or 6379)
+    return make_backend(args.spill, width=SpillCodec(spec).width, **kwargs)
+
+
+# --- subcommands ----------------------------------------------------------------
+
+def cmd_train(args) -> int:
+    import jax
+
+    run_cfg, table_cfg, model_cfg = load_configs(args.config, args.set)
+    model_cfg = dataclasses.replace(model_cfg, embedding_dim=table_cfg.dim)
+
+    if args.data == "synthetic":
+        from meepoembedding_tpu.data.synthetic import SyntheticConfig, SyntheticStream
+
+        stream = SyntheticStream(SyntheticConfig(
+            batch_size=run_cfg.batch_size,
+            num_sparse=model_cfg.num_sparse_features,
+            num_dense=model_cfg.num_dense_features,
+            seed=run_cfg.seed,
+        ))
+    else:
+        from meepoembedding_tpu.data.criteo import CriteoStream
+
+        stream = CriteoStream(args.data.split(","), batch_size=run_cfg.batch_size, loop=True)
+
+    spill = _make_spill(args, table_cfg)
+    prof = None
+    if run_cfg.profile_dir:
+        jax.profiler.start_trace(run_cfg.profile_dir)
+        prof = run_cfg.profile_dir
+
+    try:
+        if args.distributed and jax.device_count() > 1:
+            from meepoembedding_tpu.metrics import JsonlLogger, Meter
+            from meepoembedding_tpu.parallel.trainer import ShardedTrainer
+
+            tr = ShardedTrainer(run_cfg, table_cfg, model_cfg, spill=spill)
+            if args.restore:
+                tr.load_checkpoint(args.restore)
+            logger = JsonlLogger(echo=True)
+            loss_m = Meter()
+            t0 = time.perf_counter()
+            examples = 0
+            for i, batch in enumerate(stream.batches(run_cfg.steps)):
+                out = tr.train_step(batch)
+                loss_m.update(out["loss"])
+                examples += len(batch["label"])
+                if args.maintenance_every and (i + 1) % args.maintenance_every == 0:
+                    tr.maintenance()
+                if (i + 1) % run_cfg.log_every == 0:
+                    logger.log(
+                        step=tr.step, loss=loss_m.mean, auc=tr.auc.compute(),
+                        examples_per_sec=examples / (time.perf_counter() - t0),
+                        rows=len(tr), **tr.counters(),
+                    )
+                if args.ckpt_dir and args.ckpt_every and (i + 1) % args.ckpt_every == 0:
+                    tr.save_checkpoint(args.ckpt_dir)
+            if args.ckpt_dir:
+                tr.save_checkpoint(args.ckpt_dir)
+        else:
+            from meepoembedding_tpu.train import train
+
+            tr = train(
+                run_cfg, table_cfg, model_cfg, stream,
+                maintenance_every=args.maintenance_every, spill=spill,
+            )
+        print(json.dumps({"final_auc": tr.auc.compute(), "steps": tr.step}))
+    finally:
+        if prof:
+            jax.profiler.stop_trace()
+    return 0
+
+
+def _bench_table(args, update: bool) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from meepoembedding_tpu.ops import dedup, optim
+    from meepoembedding_tpu.table import hashing, xla_ops
+    from meepoembedding_tpu.table.layout import TableSpec, alloc_shard
+
+    rows = int(float(args.rows))
+    batch = int(float(args.batch))
+    cfg = TableConfig(
+        dim=args.dim, capacity=rows,
+        optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.05),
+    )
+    spec = TableSpec.from_config(cfg)
+    shard = jax.jit(lambda: alloc_shard(spec))()
+    rng = np.random.default_rng(0)
+    n_live = int(rows * 0.8)
+
+    @jax.jit
+    def prefill(shard, hi, lo):
+        valid = hashing.is_valid(hi, lo)
+        shard, _, _ = xla_ops.find_or_insert(spec, shard, hi, lo, valid, jnp.int32(0))
+        return shard
+
+    pf = min(batch, 1 << 20)
+    for i in range(0, n_live, pf):
+        ids = (np.arange(i, i + pf) % n_live * 0x9E3779B97F4A7C15) % (2**63)
+        hi, lo = hashing.split_ids(ids)
+        shard = prefill(shard, jnp.asarray(hi), jnp.asarray(lo))
+    jax.block_until_ready(shard.values)
+
+    @jax.jit
+    def lookup_cycle(shard, hi, lo):
+        uniq = dedup.unique_pairs(hi, lo, hi.shape[0])
+        shard, slot, _ = xla_ops.find_or_insert(
+            spec, shard, uniq.hi, uniq.lo, uniq.valid, jnp.int32(1)
+        )
+        out = xla_ops.lookup_rows(spec, shard, slot)[uniq.inverse]
+        return shard, jnp.sum(out)
+
+    @jax.jit
+    def update_cycle(shard, hi, lo):
+        uniq = dedup.unique_pairs(hi, lo, hi.shape[0])
+        shard, slot, _ = xla_ops.find_or_insert(
+            spec, shard, uniq.hi, uniq.lo, uniq.valid, jnp.int32(1)
+        )
+        out = xla_ops.lookup_rows(spec, shard, slot)[uniq.inverse]
+        g = dedup.segment_sum_grads(out * 1e-3, uniq.inverse, uniq.hi.shape[0])
+        shard = optim.apply_sparse_grads(spec, shard, slot, g)
+        return shard, jnp.sum(out)
+
+    fn = update_cycle if update else lookup_cycle
+    batches = []
+    for _ in range(args.steps):
+        ids = (rng.integers(0, n_live, size=batch) * 0x9E3779B97F4A7C15) % (2**63)
+        hi, lo = hashing.split_ids(ids)
+        batches.append((jnp.asarray(hi), jnp.asarray(lo)))
+    shard, s = fn(shard, *batches[0])  # compile
+    jax.block_until_ready(s)
+    t0 = time.perf_counter()
+    for h, l in batches:
+        shard, s = fn(shard, h, l)
+    jax.block_until_ready(s)
+    dt = (time.perf_counter() - t0) / args.steps
+    name = "update" if update else "lookup"
+    print(json.dumps({
+        "metric": f"{name}_ids_per_sec_per_chip",
+        "value": round(batch / dt, 1),
+        "unit": "ids/s",
+        "rows": rows,
+        "ms_per_step": round(dt * 1e3, 3),
+    }))
+    return 0
+
+
+def cmd_bench_lookup(args) -> int:
+    return _bench_table(args, update=False)
+
+
+def cmd_bench_update(args) -> int:
+    return _bench_table(args, update=True)
+
+
+def cmd_ckpt_inspect(args) -> int:
+    from meepoembedding_tpu import checkpoint
+
+    m = checkpoint.read_manifest(args.path)
+    out = dict(m)
+    rows = 0
+    freq_sum = 0
+    for data in checkpoint.iter_rows(args.path):
+        rows += len(data["ids"])
+        freq_sum += int(data["freq"].sum()) if len(data["ids"]) else 0
+    out["total_rows"] = rows
+    out["total_hits_recorded"] = freq_sum
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="meepoembedding_tpu",
+        description="TPU-native dynamic embedding framework (MeepoEmbedding class)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train a CTR/DLRM model on a dynamic table")
+    t.add_argument("--config", help="YAML config file")
+    t.add_argument("--set", nargs="*", default=[], metavar="sec.key=val",
+                   help="dotted overrides, e.g. table.capacity=1e6 run.steps=200")
+    t.add_argument("--data", default="synthetic",
+                   help="'synthetic' or comma-separated Criteo TSV paths")
+    t.add_argument("--distributed", action="store_true",
+                   help="row-shard the table over all local devices")
+    t.add_argument("--spill", choices=["none", "host", "python", "disk", "redis"],
+                   default="none", help="cold-tier backend for evicted rows")
+    t.add_argument("--spill-path", help="disk spill log path")
+    t.add_argument("--spill-addr", help="redis host:port")
+    t.add_argument("--maintenance-every", type=int, default=50)
+    t.add_argument("--ckpt-dir", help="save an elastic checkpoint here at the end")
+    t.add_argument("--ckpt-every", type=int, default=0)
+    t.add_argument("--restore", help="restore from this checkpoint before training")
+    t.set_defaults(fn=cmd_train)
+
+    for name, fn in (("bench-lookup", cmd_bench_lookup), ("bench-update", cmd_bench_update)):
+        b = sub.add_parser(name, help=f"{name} throughput on one chip")
+        b.add_argument("--rows", default="1e6", help="table capacity (prefilled to 80%%)")
+        b.add_argument("--batch", default="65536")
+        b.add_argument("--dim", type=int, default=32)
+        b.add_argument("--steps", type=int, default=20)
+        b.set_defaults(fn=fn)
+
+    c = sub.add_parser("ckpt-inspect", help="print checkpoint manifest + stats")
+    c.add_argument("path")
+    c.set_defaults(fn=cmd_ckpt_inspect)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,15 +25,39 @@ class Unique(NamedTuple):
     count: jax.Array  # i32 scalar: number of uniques
 
 
-def sorted_run_sums(ks: jax.Array, vs: jax.Array):
+def sorted_run_sums(ks: jax.Array, vs: jax.Array, disjoint: bool = False):
     """Sum equal-key runs of an ALREADY-SORTED (ks, vs) stream without any
     scatter-add: prefix-sum + end-of-run differencing + unique-index
     compaction. Returns (key_of_rank [n], totals [n, d], live [n]) where rank
     r < num_runs holds run r's key and total.
 
     XLA TPU lowers scatter-add with duplicate indices to a serialized
-    per-element loop (~200ns/element); everything here is vectorized."""
+    per-element loop (~200ns/element); everything here is vectorized.
+
+    Exactness: integer runs are BIT-EXACT for any run content — int32 cumsum
+    wraps mod 2^32 and the end-of-run differencing cancels the wrap, so even
+    overflowing prefixes recover exact in-range totals. Plain float runs
+    carry cumsum rounding ~ULP(global prefix). `disjoint=True` declares that
+    within every run each column has AT MOST ONE nonzero contributor (the
+    table-write case: unique slots -> disjoint lane windows); float values
+    are then split bitwise into four byte planes and summed on the exact
+    integer path, making float combines bit-exact too."""
     n = ks.shape[0]
+    if disjoint and not jnp.issubdtype(vs.dtype, jnp.integer):
+        d = vs.shape[-1]
+        u = jax.lax.bitcast_convert_type(vs.astype(jnp.float32), jnp.uint32)
+        planes = jnp.concatenate(
+            [((u >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)).astype(jnp.int32)
+             for j in range(4)],
+            axis=-1,
+        )  # [n, 4d]; per-column run totals <= 255 (single contributor)
+        key_of_rank, tot, live = sorted_run_sums(ks, planes)
+        bits = jnp.zeros((n, d), jnp.uint32)
+        for j in range(4):
+            bits = bits | (tot[..., j * d : (j + 1) * d].astype(jnp.uint32)
+                           << jnp.uint32(8 * j))
+        totals = jax.lax.bitcast_convert_type(bits, jnp.float32)
+        return key_of_rank, totals, live
     if not jnp.issubdtype(vs.dtype, jnp.integer):
         # float path accumulates in f32; int planes (keys!) stay exact in i32
         vs = vs.astype(jnp.float32)

@@ -27,10 +27,65 @@ from meepoembedding_tpu.metrics import JsonlLogger, Meter, StreamingAUC
 from meepoembedding_tpu.models import build_model
 from meepoembedding_tpu.models.common import bce_with_logits
 from meepoembedding_tpu.ops import dedup, optim
+from meepoembedding_tpu.parallel import multihost
 from meepoembedding_tpu.parallel import sharded_table as st
 from meepoembedding_tpu.parallel.mesh import SHARD_AXIS, make_mesh
 from meepoembedding_tpu.table import hashing, xla_ops
 from meepoembedding_tpu.table.layout import TableSpec, alloc_shard
+
+
+def addressable_shard_trees(stacked) -> dict:
+    """{global shard id: host-numpy TableShard} for THIS process's devices.
+    Works single- and multi-process (SURVEY.md C19 save path / §3.4 spill).
+
+    Zero-size leaves (e.g. a disabled cms plane) come out of jit REPLICATED —
+    XLA normalizes shardings of empty arrays — so ids are derived from the
+    genuinely sharded leaves and replicated leaves are indexed directly."""
+    leaves, treedef = jax.tree_util.tree_flatten(stacked)
+    shard_data: list = [dict() for _ in leaves]  # per leaf: {id: local data}
+    my_ids: set = set()
+    for li, leaf in enumerate(leaves):
+        for sh in leaf.addressable_shards:
+            start = sh.index[0].start
+            if start is None:  # replicated along axis 0; resolve via my_ids
+                continue
+            i = int(start)
+            my_ids.add(i)
+            shard_data[li][i] = np.asarray(sh.data)[0]
+    out = {}
+    for i in sorted(my_ids):
+        vals = []
+        for li, leaf in enumerate(leaves):
+            if i in shard_data[li]:
+                vals.append(shard_data[li][i])
+            else:  # replicated leaf: every process holds the full array
+                vals.append(np.asarray(leaf)[i])
+        out[i] = jax.tree_util.tree_unflatten(treedef, vals)
+    return out
+
+
+def stacked_from_shards(shards_by_id: dict, mesh, template_stacked):
+    """Inverse of addressable_shard_trees: per-shard host pytrees -> one
+    global stacked array pytree sharded over the mesh (multi-process safe:
+    each process contributes only its addressable shards)."""
+    sharding = NamedSharding(mesh, P(SHARD_AXIS))
+    leaves_t, treedef = jax.tree_util.tree_flatten(template_stacked)
+    out_leaves = []
+    for li, leaf_t in enumerate(leaves_t):
+        gshape = leaf_t.shape
+        dev_map = sharding.addressable_devices_indices_map(gshape)
+        singles = []
+        for dev, idx in dev_map.items():
+            i = idx[0].start
+            i = 0 if i is None else int(i)
+            local = np.asarray(
+                jax.tree_util.tree_leaves(shards_by_id[i])[li]
+            )[None]
+            singles.append(jax.device_put(local, dev))
+        out_leaves.append(
+            jax.make_array_from_single_device_arrays(gshape, sharding, singles)
+        )
+    return jax.tree_util.tree_unflatten(treedef, out_leaves)
 
 
 def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap: int,
@@ -150,13 +205,16 @@ class ShardedTrainer:
         self._eval_fn = make_sharded_eval(self.spec, self.model, self.mesh, self.unique_cap)
 
     def _device_batch(self, batch):
+        """Per-process batch arrays -> global sharded arrays. In multi-process
+        runs each host passes its LOCAL batch rows (global/num_processes) and
+        the input pipeline shards lines per host (data/criteo.py)."""
         hi, lo = hashing.split_ids(batch["ids"])
-        shd = NamedSharding(self.mesh, P(SHARD_AXIS))
+        ps = P(SHARD_AXIS)
         return (
-            jax.device_put(jnp.asarray(batch["dense"]), shd),
-            jax.device_put(jnp.asarray(hi), shd),
-            jax.device_put(jnp.asarray(lo), shd),
-            jax.device_put(jnp.asarray(batch["label"]), shd),
+            multihost.shard_batch(np.asarray(batch["dense"], np.float32), self.mesh, ps),
+            multihost.shard_batch(hi, self.mesh, ps),
+            multihost.shard_batch(lo, self.mesh, ps),
+            multihost.shard_batch(np.asarray(batch["label"], np.float32), self.mesh, ps),
         )
 
     def train_step(self, batch: dict) -> dict:
@@ -166,7 +224,14 @@ class ShardedTrainer:
             jnp.int32(self.step),
         )
         self.step += 1
-        self.auc.update(logits, jnp.asarray(batch["label"]))
+        # AUC over this process's slice of the batch (exact in single-process;
+        # per-host streaming estimate in multi-process, aggregated at compute).
+        shards = sorted(
+            logits.addressable_shards,
+            key=lambda s: s.index[0].start if s.index[0].start is not None else 0,
+        )
+        local_logits = np.concatenate([np.asarray(s.data) for s in shards])
+        self.auc.update(local_logits, np.asarray(batch["label"]))
         return {"loss": float(loss)}
 
     def eval_step(self, batch: dict) -> dict:
@@ -190,19 +255,76 @@ class ShardedTrainer:
         self.stacked, export = jax.jit(evict, donate_argnums=(0,))(
             self.stacked, jnp.int32(self.step)
         )
-        total = int(np.asarray(jax.device_get(export.count)).sum())
+        # spill only THIS process's shards (multi-process safe host reads)
+        local = addressable_shard_trees(export)
+        total = sum(int(e.count) for e in local.values())
         if total and self.spill is not None:
-            for i in range(self.S):
-                n = int(export.count[i])
-                if n:
-                    keys = hashing.join_ids(
-                        np.asarray(export.hi[i][:n]), np.asarray(export.lo[i][:n])
-                    )
-                    self.spill.insert_batch(keys, np.asarray(export.rows[i][:n]))
-        return {"evicted": total}
+            from meepoembedding_tpu.tiering import SpillCodec, spill_export
+
+            codec = SpillCodec(self.spec)
+            for e in local.values():
+                spill_export(codec, self.spill, e)
+        return {"evicted": int(multihost.all_processes_sum(total))}
+
+    # --- elastic checkpoint/restore (SURVEY.md C19; BASELINE config 5) -------
+    def save_checkpoint(self, path: str, extras: Optional[dict] = None) -> dict:
+        """Stream table shards + dense tower state to `path`. Multi-process
+        safe: each process writes its OWN shards' files; process 0 commits the
+        manifest after a barrier. Restorable onto a mesh of ANY size."""
+        from meepoembedding_tpu import checkpoint
+
+        mine = addressable_shard_trees(self.stacked)
+        manifest = checkpoint.save_sharded(
+            path,
+            self.spec,
+            mine,
+            self.S,
+            self.step,
+            extras=extras,
+            dense={"params": self.params, "opt_state": self.opt_state},
+            is_coordinator=jax.process_index() == 0,
+            barrier=multihost.barrier,
+        )
+        return manifest
+
+    def load_checkpoint(self, path: str) -> dict:
+        """Elastic restore: a checkpoint written with N shards loads onto this
+        trainer's S devices; every key is rehashed to its new owner shard.
+        Multi-process safe: each process materializes only its own shards."""
+        from meepoembedding_tpu import checkpoint
+
+        sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
+        my_ids = sorted(
+            {
+                (idx[0].start if idx[0].start is not None else 0)
+                for idx in sharding.addressable_devices_indices_map(
+                    (self.S,)
+                ).values()
+            }
+        )
+        shards, manifest = checkpoint.restore_shards(
+            self.spec, path, self.S, only_ids=set(my_ids)
+        )
+        self.stacked = stacked_from_shards(
+            {i: shards[i] for i in my_ids}, self.mesh, self.stacked
+        )
+        rep = NamedSharding(self.mesh, P())
+        self.params = jax.device_put(
+            checkpoint.load_dense(path, "params", self.params), rep
+        )
+        self.opt_state = jax.device_put(
+            checkpoint.load_dense(path, "opt_state", self.opt_state), rep
+        )
+        self.step = manifest["step"]
+        return manifest
+
+    def _replicated(self, fn, *arrs):
+        """Reduce sharded arrays to a replicated (everywhere-addressable)
+        result — the multi-process-safe way to read global state on host."""
+        return jax.jit(fn, out_shardings=NamedSharding(self.mesh, P()))(*arrs)
 
     def counters(self) -> dict:
-        c = np.asarray(jax.device_get(self.stacked.counters)).sum(axis=0)
+        c = np.asarray(self._replicated(lambda a: jnp.sum(a, axis=0), self.stacked.counters))
         names = [
             "hits", "misses", "inserts", "drops", "evictions", "spills",
             "promotes", "denied", "route_drops",
@@ -210,4 +332,4 @@ class ShardedTrainer:
         return {n: int(c[i]) for i, n in enumerate(names)}
 
     def __len__(self) -> int:
-        return int(np.asarray(jax.device_get(self.stacked.cnt)).sum())
+        return int(self._replicated(jnp.sum, self.stacked.cnt))

@@ -207,12 +207,17 @@ def combine_rows_by_vrow(vrow: jax.Array, rowupd: jax.Array, enabled: jax.Array)
     """Combine duplicate storage-row updates (slots sharing a packed row) so
     unique-index scatters are race-free. Returns (uvrow [n], combined
     [n, 128]): group g's total update at position g, disabled groups / tail
-    slots marked uvrow == -1. Scatter-add-free (see dedup.sorted_run_sums)."""
+    slots marked uvrow == -1. Scatter-add-free (see dedup.sorted_run_sums).
+
+    Callers guarantee lane-DISJOINT contributions within a group (slots are
+    unique, and slots sharing a storage row own disjoint lane windows), which
+    makes the float combine BIT-EXACT (byte-plane integer summation) — table
+    writes carry no batch-global cumsum rounding."""
     from meepoembedding_tpu.ops.dedup import sorted_run_sums
 
     key = jnp.where(enabled, vrow, _SENT)
     order = jnp.argsort(key)
     ks = jnp.take(key, order)
     us = jnp.take(rowupd, order, axis=0)
-    gkey, combined, live = sorted_run_sums(ks, us)
+    gkey, combined, live = sorted_run_sums(ks, us, disjoint=True)
     return jnp.where(live & (gkey != _SENT), gkey, -1), combined

@@ -32,9 +32,12 @@ from meepoembedding_tpu.table.layout import (
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
 def _lookup_train(spec, shard, hi, lo, step):
     uniq = dedup.unique_pairs(hi, lo, size=hi.shape[0])
-    shard, slot, _ = xla_ops.find_or_insert(spec, shard, uniq.hi, uniq.lo, uniq.valid, step)
+    shard, slot, found = xla_ops.find_or_insert(
+        spec, shard, uniq.hi, uniq.lo, uniq.valid, step
+    )
     rows = xla_ops.lookup_rows(spec, shard, slot)
-    return shard, rows[uniq.inverse], slot, uniq.inverse
+    miss = uniq.valid & ~found
+    return shard, rows[uniq.inverse], slot, uniq.inverse, (uniq.hi, uniq.lo, miss)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -57,8 +60,11 @@ def _evict(spec, shard, step):
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-def _insert(spec, shard, hi, lo, rows, valid, step, freq, accum):
-    return xla_ops.insert_rows(spec, shard, hi, lo, rows, valid, step, freq, accum)
+def _insert(spec, shard, hi, lo, rows, valid, step, freq, accum, fulldim=()):
+    return xla_ops.insert_rows(
+        spec, shard, hi, lo, rows, valid, step, freq, accum,
+        fulldim=fulldim if fulldim else None,
+    )
 
 
 class DynamicEmbeddingTable:
@@ -75,22 +81,59 @@ class DynamicEmbeddingTable:
         self.spec = TableSpec.from_config(cfg, num_shards=1)
         self.shard: TableShard = alloc_shard(self.spec)
         self.step = 0
-        self.spill = spill  # optional KVBackend for evicted rows
+        self.spill = spill  # optional KVBackend cold tier (SURVEY.md C10/§3.4)
         self._last_slots = None
         self._last_inverse = None
+        self._codec = None
+        self._promoter = None
+        if spill is not None:
+            from meepoembedding_tpu.tiering import PromotionEngine, SpillCodec
+
+            self._codec = SpillCodec(self.spec)
+            assert spill.width == self._codec.width, (
+                f"spill backend width {spill.width} != codec width "
+                f"{self._codec.width} (dim + freq + optimizer slots)"
+            )
+            self._promoter = PromotionEngine(self._codec, spill)
 
     # --- host-facing API ---------------------------------------------------
     def lookup(self, ids64: np.ndarray, train: bool = True) -> jax.Array:
-        """[n] int64 ids -> [n, dim] rows. train=True inserts on miss."""
+        """[n] int64 ids -> [n, dim] rows. train=True inserts on miss; with a
+        spill tier, cold-tier hits promote back asynchronously (§3.4)."""
         hi, lo = hashing.split_ids(ids64)
         hi, lo = jnp.asarray(hi), jnp.asarray(lo)
         if train:
-            self.shard, rows, slot, inverse = _lookup_train(
+            self._apply_promotions()
+            self.shard, rows, slot, inverse, miss_info = _lookup_train(
                 self.spec, self.shard, hi, lo, jnp.int32(self.step)
             )
             self._last_slots, self._last_inverse = slot, inverse
+            if self._promoter is not None:
+                self._promoter.feed(*miss_info)
             return rows
         return _lookup_infer(self.spec, self.shard, hi, lo)
+
+    def _apply_promotions(self):
+        """Drain staged cold->hot promotions into the device table."""
+        if self._promoter is None:
+            return
+        out = self._promoter.drain()
+        if out is None:
+            return
+        keys, state = out
+        hi, lo = hashing.split_ids(keys)
+        self.shard, _ = _insert(
+            self.spec,
+            self.shard,
+            jnp.asarray(hi),
+            jnp.asarray(lo),
+            jnp.asarray(state["values"]),
+            jnp.ones((len(keys),), bool),
+            jnp.int32(self.step),
+            jnp.asarray(state["freq"]),
+            jnp.asarray(state["accum"]) if "accum" in state else None,
+            tuple(jnp.asarray(f) for f in state["fulldim"]),
+        )
 
     def apply_grads(self, grads: jax.Array):
         """Sparse update for the ids of the last train lookup."""
@@ -118,13 +161,14 @@ class DynamicEmbeddingTable:
         return np.asarray(ok)
 
     def evict(self) -> int:
-        """Run one eviction sweep; spilled rows go to the spill backend.
-        Returns the number of evicted rows (SURVEY.md §3.4)."""
+        """Run one eviction sweep; spilled rows (value + optimizer state) go
+        to the cold tier. Returns the number of evicted rows (SURVEY.md §3.4)."""
         self.shard, export = _evict(self.spec, self.shard, jnp.int32(self.step))
         n = int(export.count)
         if n and self.spill is not None:
-            keys = hashing.join_ids(np.asarray(export.hi[:n]), np.asarray(export.lo[:n]))
-            self.spill.insert_batch(keys, np.asarray(export.rows[:n]))
+            from meepoembedding_tpu.tiering import spill_export
+
+            spill_export(self._codec, self.spill, export)
         return n
 
     # --- introspection -------------------------------------------------------
@@ -140,7 +184,30 @@ class DynamicEmbeddingTable:
 
         c = np.asarray(self.shard.counters)
         names = ["hits", "misses", "inserts", "drops", "evictions", "spills", "promotes", "denied"]
-        return {n: int(c[i]) for i, n in enumerate(names)}
+        out = {n: int(c[i]) for i, n in enumerate(names)}
+        if self._promoter is not None:
+            out["promotes"] = self._promoter.promoted
+            out["spilled_resident"] = len(self.spill)
+        return out
+
+    # --- checkpoint (SURVEY.md C19, §3.5) ------------------------------------
+    def save(self, path: str, extras: Optional[dict] = None) -> dict:
+        """Write this table as a 1-shard elastic checkpoint directory."""
+        from meepoembedding_tpu import checkpoint
+
+        return checkpoint.save(
+            path, self.spec, [self.shard], self.step, extras=extras
+        )
+
+    def load(self, path: str) -> dict:
+        """Restore from a checkpoint written with ANY shard count (rows are
+        rehashed into this table). Replaces current contents."""
+        from meepoembedding_tpu import checkpoint
+
+        shards, manifest = checkpoint.restore_shards(self.spec, path, 1)
+        self.shard = shards[0]
+        self.step = manifest["step"]
+        return manifest
 
     def export_items(self, chunk_buckets: int = 4096):
         """Stream (ids64, rows, freq, accum) of live rows to host — the

@@ -437,6 +437,7 @@ class EvictExport(NamedTuple):
     rows: jax.Array  # [E, dim]
     freq: jax.Array  # i32 [E]
     accum: jax.Array  # f32 [E] rowwise optimizer state (zeros if none)
+    fulldim: Tuple[jax.Array, ...]  # each [E, dim] full-dim optimizer slots
     count: jax.Array  # i32 scalar: number of valid entries
 
 
@@ -466,6 +467,7 @@ def evict_pass(spec: TableSpec, shard: TableShard, step) -> Tuple[TableShard, Ev
         accum = gather_bucket_plane(shard.opt_rowwise[0], slot_c)
     else:
         accum = jnp.zeros_like(freq, jnp.float32)
+    fulldim = tuple(gather_values(spec, p, slot_c) for p in shard.opt_fulldim)
     count = jnp.sum(sel).astype(jnp.int32)
 
     key_hi = scatter_bucket_plane(shard.key_hi, slot, jnp.full_like(slot, hashing.EMPTY_HI), sel)
@@ -484,17 +486,21 @@ def evict_pass(spec: TableSpec, shard: TableShard, step) -> Tuple[TableShard, Ev
         rows=jnp.where(sel[:, None], rows, 0),
         freq=jnp.where(sel, freq, 0),
         accum=jnp.where(sel, accum, 0.0),
+        fulldim=tuple(jnp.where(sel[:, None], f, 0) for f in fulldim),
         count=count,
     )
     return shard, export
 
 
 def insert_rows(
-    spec: TableSpec, shard: TableShard, hi, lo, rows, valid, step, freq=None, accum=None
+    spec: TableSpec, shard: TableShard, hi, lo, rows, valid, step, freq=None,
+    accum=None, fulldim=None, last=None,
 ) -> Tuple[TableShard, jax.Array]:
     """Bulk insert/overwrite of explicit rows (restore, promotion from spill
-    tiers, `table.assign`). Existing keys are overwritten in place. Returns
-    (shard', ok mask)."""
+    tiers, `table.assign`). Existing keys are overwritten in place; optimizer
+    state is set from `accum`/`fulldim` when given, else reset to fresh-row
+    defaults (never left stale). `last` carries a saved last-touched clock
+    (restore), defaulting to `step`. Returns (shard', ok mask)."""
     pr = probe(spec, shard, hi, lo, valid)
     plan = plan_insert(spec, shard, hi, lo, valid & ~pr.found)
     slot = jnp.where(pr.found, pr.slot, plan.slot)
@@ -505,7 +511,8 @@ def insert_rows(
     values = scatter_set_values(spec, shard.values, slot, rows, ok)
     f = freq if freq is not None else jnp.ones_like(hi)
     freq_p = scatter_bucket_plane(shard.freq, slot, f, ok)
-    last_p = scatter_bucket_plane(shard.last, slot, jnp.full_like(hi, step), ok)
+    l = last if last is not None else jnp.full_like(hi, step)
+    last_p = scatter_bucket_plane(shard.last, slot, l, ok)
     opt_rowwise = shard.opt_rowwise
     if shard.opt_rowwise:
         a = accum if accum is not None else jnp.full_like(
@@ -514,6 +521,15 @@ def insert_rows(
         opt_rowwise = (
             scatter_bucket_plane(shard.opt_rowwise[0], slot, a, ok),
         ) + shard.opt_rowwise[1:]
+    opt_fulldim = shard.opt_fulldim
+    if shard.opt_fulldim:
+        fd = fulldim if fulldim is not None else tuple(
+            jnp.zeros_like(rows, p.dtype) for p in shard.opt_fulldim
+        )
+        opt_fulldim = tuple(
+            scatter_set_values(spec, p, slot, r, ok)
+            for p, r in zip(shard.opt_fulldim, fd)
+        )
     counters = shard.counters.at[INSERTS].add(jnp.sum(ok & ~pr.found).astype(jnp.int32))
     return (
         shard._replace(
@@ -525,6 +541,7 @@ def insert_rows(
             freq=freq_p,
             last=last_p,
             opt_rowwise=opt_rowwise,
+            opt_fulldim=opt_fulldim,
             counters=counters,
         ),
         ok,

@@ -1,0 +1,172 @@
+"""Hot/cold tiering glue (SURVEY.md C10/L2, §3.4): eviction spill and
+promotion between the HBM-resident table and a `KVBackend` cold tier.
+
+The reference class migrates rows between its GPU table and CPU/Redis/SSD
+backends (README.md:2). Here the HOT side is device arrays updated by jitted
+ops; the COLD side is any KVBackend. This module owns the boundary:
+
+  SpillCodec      packs a row's full training state — value row, hit count,
+                  rowwise accumulator, full-dim optimizer slots — into ONE
+                  float32[width] backend payload, so every tier stays a dumb
+                  (key -> flat row) store.
+  spill_export    EvictExport (from xla_ops.evict_pass) -> backend inserts.
+  PromotionEngine async promotion: probe misses stream to a host worker
+                  thread that looks them up in the cold tier; hits are
+                  re-inserted into the device table (with their optimizer
+                  state) right before a later step — the device step itself
+                  never blocks on host or network I/O.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+from meepoembedding_tpu.table import hashing
+from meepoembedding_tpu.table.layout import TableSpec
+from meepoembedding_tpu.table.xla_ops import EvictExport
+
+
+class SpillCodec:
+    """Row payload layout: [values(dim) | freq(1) | accum(R) | fulldim(F*dim)]."""
+
+    def __init__(self, spec: TableSpec):
+        self.spec = spec
+        self.n_row = spec.optimizer.num_rowwise_slots()
+        self.n_full = spec.optimizer.num_fulldim_slots()
+        self.width = spec.dim * (1 + self.n_full) + 1 + self.n_row
+
+    def pack(self, rows, freq, accum=None, fulldim=()) -> np.ndarray:
+        n = rows.shape[0]
+        parts = [np.asarray(rows, np.float32), np.asarray(freq, np.float32)[:, None]]
+        if self.n_row:
+            a = accum if accum is not None else np.full(
+                (n,), self.spec.optimizer.initial_accumulator, np.float32
+            )
+            parts.append(np.asarray(a, np.float32)[:, None])
+        for j in range(self.n_full):
+            f = fulldim[j] if j < len(fulldim) else np.zeros((n, self.spec.dim), np.float32)
+            parts.append(np.asarray(f, np.float32))
+        return np.concatenate(parts, axis=1)
+
+    def unpack(self, payload: np.ndarray) -> dict:
+        d = self.spec.dim
+        out = {"values": payload[:, :d], "freq": payload[:, d].astype(np.int32)}
+        o = d + 1
+        if self.n_row:
+            out["accum"] = payload[:, o]
+            o += 1
+        out["fulldim"] = tuple(
+            payload[:, o + j * d : o + (j + 1) * d] for j in range(self.n_full)
+        )
+        return out
+
+
+def spill_export(codec: SpillCodec, backend, export: EvictExport) -> int:
+    """Drain one shard's EvictExport (already on host as numpy) into the cold
+    tier. Returns rows spilled."""
+    n = int(export.count)
+    if n == 0 or backend is None:
+        return 0
+    keys = hashing.join_ids(np.asarray(export.hi[:n]), np.asarray(export.lo[:n]))
+    payload = codec.pack(
+        np.asarray(export.rows[:n]),
+        np.asarray(export.freq[:n]),
+        np.asarray(export.accum[:n]) if codec.n_row else None,
+        tuple(np.asarray(f[:n]) for f in export.fulldim),
+    )
+    backend.insert_batch(keys, payload)
+    return n
+
+
+class PromotionEngine:
+    """Async cold->hot promotion (SURVEY.md §3.4 reverse path).
+
+    feed(hi, lo, missed) is called with the step's device arrays; a worker
+    thread devices-gets them (overlapping the next step), queries the cold
+    tier, and stages hits. drain() returns staged rows for re-insertion into
+    the device table (the caller runs the jitted insert) and erases them from
+    the cold tier. One-step lag by design: the missed id trains from fresh
+    init for a step, then its spilled state overwrites — the standard
+    trade-off for keeping the hot path free of host round trips."""
+
+    def __init__(self, codec: SpillCodec, backend, max_queue: int = 8):
+        self.codec = codec
+        self.backend = backend
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        self._staged_lock = threading.Lock()
+        self._staged: list = []
+        self._pending = 0  # fed batches not yet fully processed
+        self.promoted = 0  # lifetime counter (SURVEY.md C22)
+        self._stop = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def feed(self, hi, lo, missed) -> None:
+        """Non-blocking; drops the batch if the queue is full (misses are
+        re-observed next time the id appears, so drops only delay)."""
+        with self._staged_lock:
+            self._pending += 1
+        try:
+            self._q.put_nowait((hi, lo, missed))
+        except queue.Full:
+            with self._staged_lock:
+                self._pending -= 1
+
+    def _run(self):
+        while not self._stop:
+            try:
+                item = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if item is None:
+                return
+            hi, lo, missed = item
+            try:
+                m = np.asarray(missed)  # device sync happens HERE, off-step
+                if m.any():
+                    keys = hashing.join_ids(np.asarray(hi)[m], np.asarray(lo)[m])
+                    payload, found = self.backend.lookup_batch(keys)
+                    if found.any():
+                        with self._staged_lock:
+                            self._staged.append((keys[found], payload[found]))
+            except Exception:  # backend hiccups must never kill training
+                pass
+            finally:
+                with self._staged_lock:
+                    self._pending -= 1
+
+    def drain(self) -> Optional[Tuple[np.ndarray, dict]]:
+        """-> (keys, unpacked state) of all staged promotions, or None."""
+        with self._staged_lock:
+            staged, self._staged = self._staged, []
+        if not staged:
+            return None
+        keys = np.concatenate([k for k, _ in staged])
+        payload = np.concatenate([p for _, p in staged])
+        keys, idx = np.unique(keys, return_index=True)  # last-write-wins on dups is fine
+        payload = payload[idx]
+        self.backend.erase_batch(keys)
+        self.promoted += len(keys)
+        return keys, self.codec.unpack(payload)
+
+    def flush(self, timeout: float = 5.0) -> None:
+        """Block until every fed batch is fully processed (tests/shutdown)."""
+        import time
+
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < timeout:
+            with self._staged_lock:
+                if self._pending == 0:
+                    return
+            time.sleep(0.01)
+
+    def close(self):
+        self._stop = True
+        try:
+            self._q.put_nowait(None)
+        except queue.Full:
+            pass

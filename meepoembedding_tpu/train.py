@@ -133,7 +133,8 @@ class Trainer:
         return {"loss": float(loss), "logits": logits}
 
     def maintenance(self) -> dict:
-        """Eviction/spill tick (SURVEY.md §3.4), off the step critical path."""
+        """Eviction/spill tick (SURVEY.md §3.4), off the step critical path.
+        Spilled payloads carry the full row state (value+freq+optimizer)."""
         if self.spec.policy.evict_policy == "none":
             return {"evicted": 0}
         self.shard, export = jax.jit(
@@ -141,8 +142,9 @@ class Trainer:
         )(self.spec, self.shard, jnp.int32(self.step))
         n = int(export.count)
         if n and self.spill is not None:
-            keys = hashing.join_ids(np.asarray(export.hi[:n]), np.asarray(export.lo[:n]))
-            self.spill.insert_batch(keys, np.asarray(export.rows[:n]))
+            from meepoembedding_tpu.tiering import SpillCodec, spill_export
+
+            spill_export(SpillCodec(self.spec), self.spill, export)
         return {"evicted": n}
 
 

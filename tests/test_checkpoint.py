@@ -1,0 +1,207 @@
+"""Elastic checkpoint/restore tests (SURVEY.md C19, §3.5, §4.4; BASELINE
+config 5 "elastic checkpoint/restore")."""
+
+import numpy as np
+import pytest
+
+from meepoembedding_tpu import checkpoint
+from meepoembedding_tpu.config import (
+    ModelConfig,
+    OptimizerConfig,
+    PolicyConfig,
+    RunConfig,
+    TableConfig,
+)
+from meepoembedding_tpu.table import hashing
+from meepoembedding_tpu.table.layout import TableSpec
+from meepoembedding_tpu.table.runtime import DynamicEmbeddingTable
+
+
+def _trained_table(opt_kind="rowwise_adagrad", n_ids=500, dim=16, steps=3, seed=0):
+    rng = np.random.default_rng(seed)
+    cfg = TableConfig(
+        dim=dim,
+        capacity=1 << 12,
+        optimizer=OptimizerConfig(kind=opt_kind, learning_rate=0.05),
+        policy=PolicyConfig(evict_policy="lfu_ttl", ttl_steps=1000),
+    )
+    t = DynamicEmbeddingTable(cfg)
+    ids = rng.integers(-(2**62), 2**62, size=n_ids, dtype=np.int64)
+    for _ in range(steps):
+        batch = rng.choice(ids, size=256)
+        rows = t.lookup(batch, train=True)
+        t.apply_grads(np.asarray(rows) * 0.01 + 0.001)
+    return t, ids
+
+
+def _table_state(t):
+    """(id -> (value row, freq, accum)) of every live row, via export."""
+    out = {}
+    for ids, rows, freq, accum in t.export_items():
+        for i, k in enumerate(ids):
+            out[int(k)] = (rows[i].copy(), int(freq[i]), float(accum[i]))
+    return out
+
+
+@pytest.mark.parametrize("opt_kind", ["rowwise_adagrad", "adam"])
+def test_save_load_roundtrip(tmp_path, opt_kind):
+    t, _ = _trained_table(opt_kind)
+    before = _table_state(t)
+    assert len(before) > 100
+    t.save(str(tmp_path / "ckpt"))
+
+    t2 = DynamicEmbeddingTable(t.cfg)
+    manifest = t2.load(str(tmp_path / "ckpt"))
+    assert manifest["step"] == t.step
+    after = _table_state(t2)
+    assert set(after) == set(before)
+    for k in before:
+        # bit-exact: table writes combine on the exact integer byte-plane path
+        np.testing.assert_array_equal(after[k][0], before[k][0])
+        assert after[k][1] == before[k][1]  # freq
+        np.testing.assert_array_equal(after[k][2], before[k][2])  # accum
+
+
+def test_fulldim_slots_roundtrip(tmp_path):
+    """Adam moments (full-dim optimizer slots) survive save/load exactly."""
+    t, _ = _trained_table("adam")
+    arrs = checkpoint.export_shard_arrays(t.spec, t.shard)
+    assert "full0" in arrs and "full1" in arrs
+    assert np.abs(arrs["full0"]).max() > 0  # moments actually trained
+    t.save(str(tmp_path / "c"))
+    t2 = DynamicEmbeddingTable(t.cfg)
+    t2.load(str(tmp_path / "c"))
+    a2 = checkpoint.export_shard_arrays(t2.spec, t2.shard)
+    o1 = np.argsort(arrs["ids"])
+    o2 = np.argsort(a2["ids"])
+    np.testing.assert_array_equal(arrs["ids"][o1], a2["ids"][o2])
+    np.testing.assert_array_equal(arrs["full0"][o1], a2["full0"][o2])
+    np.testing.assert_array_equal(arrs["full1"][o1], a2["full1"][o2])
+
+
+def test_training_continues_identically_after_restore(tmp_path):
+    """Save/restore is transparent: N more steps after restore produce the
+    same rows as N more steps without the round trip."""
+    t, ids = _trained_table()
+    t.save(str(tmp_path / "c"))
+    rng = np.random.default_rng(99)
+    batches = [rng.choice(ids, size=256) for _ in range(3)]
+
+    def run_on(table):
+        for b in batches:
+            rows = table.lookup(b, train=True)
+            table.apply_grads(np.asarray(rows) * 0.01)
+        return np.asarray(table.lookup(ids[:200], train=False))
+
+    expect = run_on(t)
+    t2 = DynamicEmbeddingTable(t.cfg)
+    t2.load(str(tmp_path / "c"))
+    got = run_on(t2)
+    np.testing.assert_allclose(got, expect, rtol=1e-6, atol=1e-8)
+
+
+def test_elastic_reshard_1_to_4_to_1(tmp_path):
+    """A checkpoint written with one shard restores onto 4 shards and back,
+    preserving every row exactly (rehash-reshard, §3.5)."""
+    t, _ = _trained_table(n_ids=800)
+    before = _table_state(t)
+    t.save(str(tmp_path / "c1"))
+
+    spec4 = TableSpec.from_config(t.cfg, num_shards=4)
+    shards, m = checkpoint.restore_shards(spec4, str(tmp_path / "c1"), 4)
+    assert m["num_shards"] == 1
+    # each key landed on exactly its owner shard
+    total = 0
+    for s, shard in enumerate(shards):
+        arrs = checkpoint.export_shard_arrays(spec4, shard)
+        total += len(arrs["ids"])
+        if len(arrs["ids"]):
+            hi, lo = hashing.split_ids(arrs["ids"])
+            import jax.numpy as jnp
+            owner = np.asarray(hashing.owner_of(jnp.asarray(hi), jnp.asarray(lo), 4))
+            assert (owner == s).all()
+    assert total == len(before)
+    checkpoint.save(str(tmp_path / "c4"), spec4, shards, step=m["step"])
+
+    t3 = DynamicEmbeddingTable(t.cfg)
+    t3.load(str(tmp_path / "c4"))
+    after = _table_state(t3)
+    assert set(after) == set(before)
+    for k in before:
+        np.testing.assert_array_equal(after[k][0], before[k][0])
+        assert after[k][1] == before[k][1]
+
+
+def test_sharded_trainer_checkpoint_elastic(tmp_path):
+    """ShardedTrainer: save on an 8-device mesh, restore onto a 2-device
+    mesh; dense params and every table row carry over; training resumes."""
+    import jax
+
+    from meepoembedding_tpu.parallel.mesh import make_mesh
+    from meepoembedding_tpu.parallel.trainer import ShardedTrainer
+
+    rng = np.random.default_rng(0)
+    run = RunConfig(batch_size=64, steps=2)
+    table = TableConfig(dim=8, capacity=1 << 12)
+    model = ModelConfig(
+        kind="ctr_mlp", num_dense_features=4, num_sparse_features=3,
+        embedding_dim=8, top_mlp=(16, 1),
+    )
+
+    def batch():
+        return {
+            "dense": rng.normal(size=(64, 4)).astype(np.float32),
+            "ids": rng.integers(0, 4000, size=(64, 3), dtype=np.int64),
+            "label": (rng.random(64) < 0.3).astype(np.float32),
+        }
+
+    tr = ShardedTrainer(run, table, model, mesh=make_mesh(8))
+    for _ in range(3):
+        tr.train_step(batch())
+    n_before = len(tr)
+    c_before = tr.counters()
+    tr.save_checkpoint(str(tmp_path / "ck"), extras={"note": "e2e"})
+
+    tr2 = ShardedTrainer(run, table, model, mesh=make_mesh(2))
+    m = tr2.load_checkpoint(str(tmp_path / "ck"))
+    assert m["extras"]["note"] == "e2e"
+    assert tr2.step == tr.step
+    assert len(tr2) == n_before
+    # dense params identical
+    p1 = jax.tree_util.tree_leaves(tr.params)
+    p2 = jax.tree_util.tree_leaves(tr2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8)
+    # identical eval on both meshes for the same batch
+    b = batch()
+    e1 = tr.eval_step(b)
+    e2 = tr2.eval_step(b)
+    np.testing.assert_allclose(e1["loss"], e2["loss"], rtol=1e-4)
+    # training continues
+    out = tr2.train_step(batch())
+    assert np.isfinite(out["loss"])
+
+
+def test_corrupt_save_never_clobbers(tmp_path):
+    """The manifest is the commit point: a save that dies mid-way leaves the
+    previous checkpoint loadable."""
+    t, _ = _trained_table(n_ids=100)
+    p = str(tmp_path / "c")
+    t.save(p)
+    before = _table_state(t)
+    # simulate a crashed overwrite: partial shard file, no manifest update
+    import os
+
+    with open(os.path.join(p, "shard-00000.npz"), "rb") as f:
+        good = f.read()
+    try:
+        t.shard = t.shard  # no-op; emulate failure by writing garbage tmp only
+        with open(os.path.join(p, ".tmp-ckpt-dead"), "wb") as f:
+            f.write(b"garbage")
+        t2 = DynamicEmbeddingTable(t.cfg)
+        t2.load(p)
+        after = _table_state(t2)
+        assert set(after) == set(before)
+    finally:
+        with open(os.path.join(p, "shard-00000.npz"), "wb") as f:
+            f.write(good)

@@ -1,0 +1,86 @@
+"""Config layering + CLI plumbing tests (SURVEY.md C20/C21)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from meepoembedding_tpu.cli import load_configs
+
+
+def test_defaults():
+    run, table, model = load_configs()
+    assert table.dim == 32 and run.batch_size == 4096
+
+
+def test_yaml_layer(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        """
+run:
+  batch_size: 512
+  steps: 7
+table:
+  dim: 16
+  capacity: 4096
+  optimizer:
+    kind: adam
+    learning_rate: 0.01
+model:
+  kind: ctr_mlp
+  top_mlp: [32, 1]
+"""
+    )
+    run, table, model = load_configs(str(p))
+    assert run.batch_size == 512 and run.steps == 7
+    assert table.dim == 16 and table.optimizer.kind == "adam"
+    assert table.optimizer.learning_rate == 0.01
+    assert model.top_mlp == (32, 1)
+
+
+def test_set_overrides_beat_yaml(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("run:\n  steps: 7\n")
+    run, table, _ = load_configs(
+        str(p), ["run.steps=9", "table.capacity=1e6", "table.optimizer.kind=sgd"]
+    )
+    assert run.steps == 9
+    assert table.capacity == 1_000_000
+    assert table.optimizer.kind == "sgd"
+
+
+def test_tuple_and_optional_coercion():
+    run, _, model = load_configs(None, ["model.top_mlp=64,32,1", "run.unique_cap=none"])
+    assert model.top_mlp == (64, 32, 1)
+    assert run.unique_cap is None
+
+
+def test_unknown_field_raises():
+    with pytest.raises(KeyError):
+        load_configs(None, ["table.nope=1"])
+    with pytest.raises(KeyError):
+        load_configs(None, ["bogus.x=1"])
+
+
+def test_ckpt_inspect_cli(tmp_path):
+    """End-to-end: build a tiny checkpoint, inspect via the CLI subprocess."""
+    from meepoembedding_tpu.config import TableConfig
+    from meepoembedding_tpu.table.runtime import DynamicEmbeddingTable
+
+    t = DynamicEmbeddingTable(TableConfig(dim=8, capacity=1 << 10))
+    t.lookup(np.arange(50, dtype=np.int64), train=True)
+    t.apply_grads(np.zeros((50, 8), np.float32))
+    t.save(str(tmp_path / "ck"))
+
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "ckpt-inspect", str(tmp_path / "ck")],
+        capture_output=True, text=True, timeout=120,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"},
+    )
+    assert out.returncode == 0, out.stderr
+    m = json.loads(out.stdout)
+    assert m["total_rows"] == 50
+    assert m["num_shards"] == 1
+    assert m["dim"] == 8

@@ -1,0 +1,132 @@
+"""Multi-host tests without a cluster (SURVEY.md §4.4, §5 failure recovery;
+BASELINE config 5): N local processes rendezvous via jax.distributed on the
+CPU backend (collectives over Gloo), exercising the DCN code paths — batch
+assembly from process-local data, cross-process all-to-all in the step,
+multi-process checkpoint commit, elastic restore with a different process
+count, and recovery from a killed worker."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_mh_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def _run_job(nproc, devs, ckpt, extra=(), timeout=600):
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(port), str(i), str(nproc), str(devs), ckpt, *extra],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env, cwd=REPO,
+        )
+        for i in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_training_and_checkpoint(tmp_path):
+    """2 processes x 2 devices: training converges on the 4-way global mesh,
+    both processes agree on global state, checkpoint commits once."""
+    ckpt = str(tmp_path / "ck")
+    outs = _run_job(2, 2, ckpt, ["--steps", "3"])
+    results = []
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed:\n{err[-3000:]}"
+        results.append(json.loads(out.strip().splitlines()[-1]))
+    # global state identical across processes
+    assert results[0]["rows"] == results[1]["rows"] > 0
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-5)
+    assert results[0]["counters"] == results[1]["counters"]
+    # committed manifest covers all 4 shards
+    with open(os.path.join(ckpt, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["num_shards"] == 4
+    assert sum(m["counts"]) == results[0]["rows"]
+    assert m["dense"] == ["opt_state", "params"]
+
+
+@pytest.mark.slow
+def test_elastic_restore_different_process_count(tmp_path):
+    """Save from a 2-process/4-shard job, restore into a 1-process/2-shard
+    job (elastic reshard over process boundaries), continue training."""
+    ckpt = str(tmp_path / "ck")
+    outs = _run_job(2, 2, ckpt, ["--steps", "2"])
+    for rc, _, err in outs:
+        assert rc == 0, err[-2000:]
+    rows_before = json.loads(outs[0][1].strip().splitlines()[-1])["rows"]
+
+    ckpt2 = str(tmp_path / "ck2")
+    outs2 = _run_job(1, 2, ckpt2, ["--steps", "2", "--restore", ckpt])
+    rc, out, err = outs2[0]
+    assert rc == 0, err[-3000:]
+    r = json.loads(out.strip().splitlines()[-1])
+    assert r["step"] == 4  # resumed from step 2, ran 2 more
+    assert r["rows"] >= rows_before  # all restored + maybe new inserts
+
+
+@pytest.mark.slow
+def test_worker_death_and_recovery(tmp_path):
+    """Fault injection (SURVEY.md §5): one worker dies mid-job after a
+    checkpoint commit; the job is restarted with a DIFFERENT topology from
+    the last good checkpoint and continues — checkpoint-based elasticity."""
+    ckpt = str(tmp_path / "ck")
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+
+    def spawn(i, extra):
+        return subprocess.Popen(
+            [sys.executable, WORKER, str(port), str(i), "2", "2", ckpt, *extra],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env, cwd=REPO,
+        )
+
+    # proc 1 dies after step 2; both checkpoint after every step
+    p0 = spawn(0, ["--steps", "4", "--save-every", "1"])
+    p1 = spawn(1, ["--steps", "4", "--save-every", "1", "--die-after", "2"])
+    out1, _ = p1.communicate(timeout=600)
+    assert p1.returncode == 42  # simulated hard failure
+    try:
+        p0.communicate(timeout=120)  # survivor should notice the dead peer
+    except subprocess.TimeoutExpired:
+        p0.kill()  # detection latency varies; killing the stuck survivor is
+        p0.communicate()  # the external-supervisor behavior anyway
+    assert p0.returncode != 0  # the job did NOT silently succeed
+
+    # last good checkpoint has the commit from step 2
+    with open(os.path.join(ckpt, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["extras"]["saved_at"] == 2
+    assert m["step"] == 2
+
+    # restart elastically as a single-process job and continue
+    outs = _run_job(1, 4, str(tmp_path / "ck_after"), ["--steps", "2", "--restore", ckpt])
+    rc, out, err = outs[0]
+    assert rc == 0, err[-3000:]
+    r = json.loads(out.strip().splitlines()[-1])
+    assert r["step"] == 4
+    assert r["rows"] > 0
+    assert np.isfinite(r["loss"])

@@ -1,0 +1,188 @@
+"""Hot/cold tiering tests (SURVEY.md C10, §3.4): evict -> spill -> promote
+with full optimizer state, across backend kinds."""
+
+import numpy as np
+import pytest
+
+from meepoembedding_tpu.backends import make_backend
+from meepoembedding_tpu.config import OptimizerConfig, PolicyConfig, TableConfig
+from meepoembedding_tpu.table.layout import TableSpec
+from meepoembedding_tpu.table.runtime import DynamicEmbeddingTable
+from meepoembedding_tpu.tiering import SpillCodec
+
+
+def _cfg(opt_kind="rowwise_adagrad", ttl=8):
+    return TableConfig(
+        dim=16,
+        capacity=1 << 12,
+        optimizer=OptimizerConfig(kind=opt_kind, learning_rate=0.05),
+        policy=PolicyConfig(evict_policy="ttl", ttl_steps=ttl, max_evict_per_pass=1 << 10),
+    )
+
+
+def test_codec_roundtrip_rowwise(rng):
+    spec = TableSpec.from_config(_cfg("rowwise_adagrad"))
+    codec = SpillCodec(spec)
+    assert codec.width == 16 + 1 + 1
+    rows = rng.normal(size=(5, 16)).astype(np.float32)
+    freq = np.array([1, 2, 3, 4, 5], np.int32)
+    accum = rng.random(5).astype(np.float32)
+    state = codec.unpack(codec.pack(rows, freq, accum))
+    np.testing.assert_array_equal(state["values"], rows)
+    np.testing.assert_array_equal(state["freq"], freq)
+    np.testing.assert_array_equal(state["accum"], accum)
+    assert state["fulldim"] == ()
+
+
+def test_codec_roundtrip_adam(rng):
+    spec = TableSpec.from_config(_cfg("adam"))
+    codec = SpillCodec(spec)
+    assert codec.width == 16 * 3 + 1
+    rows = rng.normal(size=(3, 16)).astype(np.float32)
+    m = rng.normal(size=(3, 16)).astype(np.float32)
+    v = rng.random((3, 16)).astype(np.float32)
+    state = codec.unpack(codec.pack(rows, np.ones(3, np.int32), None, (m, v)))
+    np.testing.assert_array_equal(state["fulldim"][0], m)
+    np.testing.assert_array_equal(state["fulldim"][1], v)
+
+
+@pytest.mark.parametrize("backend_kind", ["python", "host"])
+def test_evict_spill_promote_roundtrip(backend_kind, rng, tmp_path):
+    """Train rows, age them out via TTL evict to the cold tier, touch them
+    again: the promoted rows carry their exact trained value + accumulator."""
+    cfg = _cfg(ttl=5)
+    spec = TableSpec.from_config(cfg)
+    spill = make_backend(backend_kind, width=SpillCodec(spec).width)
+    t = DynamicEmbeddingTable(cfg, spill=spill)
+
+    cold_ids = np.arange(100, dtype=np.int64) * 7919 + 1
+    hot_ids = np.arange(50, dtype=np.int64) * 104729 + 10**12
+    # train the cold ids a few steps so they have nontrivial state
+    for _ in range(3):
+        rows = t.lookup(cold_ids, train=True)
+        t.apply_grads(np.asarray(rows) * 0.1 + 0.01)
+    before = {}
+    for ids, rows, freq, accum in t.export_items():
+        for i, k in enumerate(ids):
+            before[int(k)] = (rows[i].copy(), int(freq[i]), float(accum[i]))
+
+    # age them out: keep training only hot ids past the TTL
+    for _ in range(8):
+        rows = t.lookup(hot_ids, train=True)
+        t.apply_grads(np.asarray(rows) * 0.1)
+    n_evicted = t.evict()
+    assert n_evicted >= 100
+    assert len(spill) >= 100
+    _, found = spill.lookup_batch(cold_ids)
+    assert found.all()
+
+    # touching the cold ids again: first lookup misses (fresh init) and feeds
+    # the promoter; after the async promote, state is back bit-exact.
+    t.lookup(cold_ids, train=True)
+    t._promoter.flush()
+    t._apply_promotions()
+    after = {}
+    for ids, rows, freq, accum in t.export_items():
+        for i, k in enumerate(ids):
+            after[int(k)] = (rows[i].copy(), int(freq[i]), float(accum[i]))
+    for k in map(int, cold_ids):
+        assert k in after
+        np.testing.assert_array_equal(after[k][0], before[k][0])
+        assert after[k][1] == before[k][1]
+        np.testing.assert_array_equal(after[k][2], before[k][2])
+    # promoted rows were erased from the cold tier
+    _, found = spill.lookup_batch(cold_ids)
+    assert not found.any()
+    assert t.counters()["promotes"] == 100
+
+
+def test_lfu_eviction_keeps_hot_rows(rng):
+    cfg = TableConfig(
+        dim=16,
+        capacity=1 << 12,
+        policy=PolicyConfig(evict_policy="lfu", lfu_min_freq=3, max_evict_per_pass=1 << 10),
+    )
+    spec = TableSpec.from_config(cfg)
+    spill = make_backend("python", width=SpillCodec(spec).width)
+    t = DynamicEmbeddingTable(cfg, spill=spill)
+    hot = np.arange(20, dtype=np.int64) + 1
+    cold = np.arange(20, dtype=np.int64) + 1000
+    for _ in range(5):
+        rows = t.lookup(hot, train=True)
+        t.apply_grads(np.asarray(rows) * 0.1)
+    rows = t.lookup(cold, train=True)
+    t.apply_grads(np.asarray(rows) * 0.1)
+    evicted = t.evict()
+    assert evicted == 20  # cold ones (freq 1 < 3); hot survived
+    live = {int(k) for ids, *_ in t.export_items() for k in ids}
+    assert live == set(map(int, hot))
+
+
+def test_adam_state_survives_spill_promote(rng):
+    cfg = _cfg("adam", ttl=3)
+    spec = TableSpec.from_config(cfg)
+    spill = make_backend("python", width=SpillCodec(spec).width)
+    t = DynamicEmbeddingTable(cfg, spill=spill)
+    ids = np.arange(30, dtype=np.int64) + 7
+    for _ in range(3):
+        rows = t.lookup(ids, train=True)
+        t.apply_grads(np.asarray(rows) * 0.1 + 0.01)
+    from meepoembedding_tpu import checkpoint
+
+    before = checkpoint.export_shard_arrays(t.spec, t.shard)
+    assert np.abs(before["full0"]).max() > 0
+
+    other = np.arange(30, dtype=np.int64) + 10**9
+    for _ in range(5):
+        rows = t.lookup(other, train=True)
+        t.apply_grads(np.asarray(rows) * 0.1)
+    assert t.evict() >= 30
+
+    t.lookup(ids, train=True)
+    t._promoter.flush()
+    t._apply_promotions()
+    after = checkpoint.export_shard_arrays(t.spec, t.shard)
+    o_b = {int(k): i for i, k in enumerate(before["ids"])}
+    o_a = {int(k): i for i, k in enumerate(after["ids"])}
+    for k in map(int, ids):
+        np.testing.assert_array_equal(after["full0"][o_a[k]], before["full0"][o_b[k]])
+        np.testing.assert_array_equal(after["full1"][o_a[k]], before["full1"][o_b[k]])
+
+
+def test_sharded_trainer_spills_full_state(rng):
+    from meepoembedding_tpu.config import ModelConfig, RunConfig
+    from meepoembedding_tpu.parallel.mesh import make_mesh
+    from meepoembedding_tpu.parallel.trainer import ShardedTrainer
+
+    table = TableConfig(
+        dim=8, capacity=1 << 12,
+        policy=PolicyConfig(evict_policy="ttl", ttl_steps=2, max_evict_per_pass=1 << 10),
+    )
+    spec_probe = TableSpec.from_config(table, num_shards=4)
+    spill = make_backend("python", width=SpillCodec(spec_probe).width)
+    run = RunConfig(batch_size=64, steps=2)
+    model = ModelConfig(
+        kind="ctr_mlp", num_dense_features=4, num_sparse_features=3,
+        embedding_dim=8, top_mlp=(16, 1),
+    )
+    tr = ShardedTrainer(run, table, model, mesh=make_mesh(4), spill=spill)
+
+    def batch(lo, hi_):
+        return {
+            "dense": rng.normal(size=(64, 4)).astype(np.float32),
+            "ids": rng.integers(lo, hi_, size=(64, 3), dtype=np.int64),
+            "label": (rng.random(64) < 0.3).astype(np.float32),
+        }
+
+    for _ in range(2):
+        tr.train_step(batch(0, 1000))
+    n0 = len(tr)
+    for _ in range(4):
+        tr.train_step(batch(10**6, 10**6 + 1000))  # age out the first ids
+    out = tr.maintenance()
+    assert out["evicted"] > 0
+    assert len(spill) == out["evicted"]
+    # spilled payloads carry freq + accum columns, not just values
+    keys, rows = next(iter(spill.export()))
+    assert rows.shape[1] == 8 + 1 + 1
+    assert (rows[:, 8] >= 1).all()  # freq column
