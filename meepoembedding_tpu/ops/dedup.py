@@ -130,5 +130,16 @@ def unique_pairs(hi: jax.Array, lo: jax.Array, size: int) -> Unique:
 
 def segment_sum_grads(grads: jax.Array, inverse: jax.Array, num_unique: int) -> jax.Array:
     """[n, dim] per-occurrence grads -> [U, dim] per-unique-id grads
-    (the backward half of dedup, SURVEY.md §3.3)."""
-    return sorted_segment_sum(grads, inverse, num_unique)
+    (the backward half of dedup, SURVEY.md §3.3).
+
+    Implemented as ONE duplicate-tolerant row scatter-add in 128-lane space:
+    XLA's [R,128] row-granular scatter-add is fast on TPU even with duplicate
+    rows (~7ms for 512K), while sort-based segment sums pay an argsort plus a
+    padded-minor gather (a [n,32] gather runs ~6x slower than [n,128])."""
+    n, d = grads.shape
+    dpad = -(-d // 128) * 128
+    g = grads.astype(jnp.float32)
+    if dpad != d:
+        g = jnp.pad(g, ((0, 0), (0, dpad - d)))
+    out = jnp.zeros((num_unique, dpad), jnp.float32).at[inverse].add(g, mode="drop")
+    return out[:, :d]

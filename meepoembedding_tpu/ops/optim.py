@@ -23,28 +23,61 @@ from meepoembedding_tpu.table.xla_ops import (
     _expand_row_update,
     gather_bucket_plane,
     gather_values,
+    scatter_add_bucket_plane,
     scatter_add_values,
     scatter_bucket_plane,
 )
 
 
 def row_apply_delta(spec: TableSpec, plane, slot, delta, enabled):
-    """plane[rows of slot] += delta via gather + scatter-SET of whole storage
-    rows. XLA lowers scatter-ADD on a just-gathered buffer to a serialized
-    per-row RMW loop (measured 100x slower than its separate parts on TPU);
-    gathering the full 128-lane rows, adding in registers and scatter-SETTING
-    with unique indices stays on the fast vectorized path. Duplicate storage
-    rows (packed slots) are pre-combined to keep the set race-free."""
+    """plane[rows of slot] += delta as ONE duplicate-tolerant row scatter-add:
+    each slot's delta expands to its 128-lane window (zeros elsewhere) and
+    lands with `.at[vrow].add`. XLA's [R,128] row-granular scatter-add is
+    fast on TPU even with duplicate rows (packed slots sharing a storage
+    row), and since slots are unique each ELEMENT receives at most one
+    nonzero contribution — the update is exact."""
     vrow, rowupd = _expand_row_update(spec, slot, delta.astype(jnp.float32))
     if spec.dim <= 128:
         en = enabled
     else:
         en = jnp.repeat(enabled, spec.rows_per_slot)
-    uvrow, combined = combine_rows_by_vrow(vrow, rowupd, en)
-    old = jnp.take(plane, jnp.clip(uvrow, 0), axis=0).astype(jnp.float32)
-    new = (old + combined).astype(plane.dtype)
-    idx = jnp.where(uvrow >= 0, uvrow, plane.shape[0])
-    return plane.at[idx].set(new, mode="drop", unique_indices=True)
+    idx = jnp.where(en, vrow, plane.shape[0])
+    return plane.at[idx].add(rowupd.astype(plane.dtype), mode="drop")
+
+
+def apply_sparse_grads_window(
+    spec: TableSpec, shard: TableShard, slot: jax.Array, gwin: jax.Array
+) -> TableShard:
+    """Window-space fast path (dim < 128): per-slot grads arrive as [U, 128]
+    rows with each grad already in its slot's lane window (zeros elsewhere,
+    see xla_ops.segment_sum_grads_window). Supported for the rowwise/sgd
+    optimizers the production hot loop uses; other kinds collapse to [U, dim]
+    and take the generic path."""
+    opt = spec.optimizer
+    enabled = slot >= 0
+    gwin = jnp.where(enabled[:, None], gwin, 0).astype(jnp.float32)
+    vrow = jnp.where(enabled, jnp.clip(slot, 0) // spec.pack, shard.values.shape[0])
+    if opt.kind == "sgd":
+        values = shard.values.at[vrow].add(
+            (-opt.learning_rate * gwin).astype(shard.values.dtype), mode="drop"
+        )
+        return shard._replace(values=values)
+    if opt.kind == "rowwise_adagrad":
+        (accum_plane,) = shard.opt_rowwise
+        a_old = gather_bucket_plane(accum_plane, slot)
+        g2 = jnp.sum(gwin * gwin, axis=1) / spec.dim  # zeros outside window
+        a_new = a_old + g2
+        accum_plane = scatter_add_bucket_plane(accum_plane, slot, g2, enabled)
+        scale = opt.learning_rate * jax.lax.rsqrt(a_new + opt.eps)
+        values = shard.values.at[vrow].add(
+            (-scale[:, None] * gwin).astype(shard.values.dtype), mode="drop"
+        )
+        return shard._replace(values=values, opt_rowwise=(accum_plane,))
+    # generic fallback: collapse window rows to [U, dim]
+    from meepoembedding_tpu.table.xla_ops import window_extract
+
+    sub = jnp.clip(slot, 0) % spec.pack
+    return apply_sparse_grads(spec, shard, slot, window_extract(spec, gwin, sub))
 
 
 def apply_sparse_grads(
@@ -63,11 +96,14 @@ def apply_sparse_grads(
 
     if kind == "rowwise_adagrad":
         # One accumulator scalar per row: a += mean(g^2); w -= lr/sqrt(a) * g.
+        # The accumulator update is expressed as an ADD (duplicate-tolerant
+        # fast row scatter); a_old + g2 in place equals the a_new used for
+        # the scale bit-exactly.
         (accum_plane,) = shard.opt_rowwise
         a_old = gather_bucket_plane(accum_plane, slot)
         g2 = jnp.mean(grad * grad, axis=1)
         a_new = a_old + g2
-        accum_plane = scatter_bucket_plane(accum_plane, slot, a_new, enabled)
+        accum_plane = scatter_add_bucket_plane(accum_plane, slot, g2, enabled)
         scale = opt.learning_rate * jax.lax.rsqrt(a_new + opt.eps)
         values = row_apply_delta(spec, shard.values, slot, -scale[:, None] * grad, enabled)
         return shard._replace(values=values, opt_rowwise=(accum_plane,))

@@ -118,12 +118,17 @@ class TableShard(NamedTuple):
 
 
 def alloc_shard(spec: TableSpec) -> TableShard:
-    """Allocate an empty shard (host-side; call under jit/device_put for HBM)."""
+    """Allocate an empty shard (host-side; call under jit/device_put for HBM).
+
+    INVARIANT: free slots hold ZERO in values, optimizer planes, freq and
+    last. Insert then writes initial state as an exact ADD over zero, and
+    eviction restores zero by subtracting the exported state — this keeps
+    every hot-path table write on XLA's fast duplicate-tolerant row
+    scatter-ADD (SET scatters need an expensive combine pass)."""
     nb = spec.num_buckets
     kshape = (nb, LANES)
-    acc0 = float(spec.optimizer.initial_accumulator)
     rowwise = tuple(
-        jnp.full(kshape, acc0, jnp.float32)
+        jnp.zeros(kshape, jnp.float32)
         for _ in range(spec.optimizer.num_rowwise_slots())
     )
     fulldim = tuple(

@@ -1,20 +1,23 @@
 """Pallas TPU kernels for the hot row ops (SURVEY.md C2/C3/C4, L0).
 
 The reference class's CUDA kernels gather/scatter embedding rows with one
-thread-block per row; the TPU equivalent is explicit DMA pipelining: keep
-dozens of row-granularity HBM<->VMEM copies in flight so random-access row
-traffic approaches HBM bandwidth instead of XLA's conservative
-gather/scatter lowering (which inserts whole-array copies for WAR hazards
-and serializes on potential index duplicates).
+thread-block per row; the TPU equivalent is explicit DMA pipelining: keep a
+block of row-granularity HBM<->VMEM copies in flight so random-access row
+traffic approaches HBM bandwidth instead of XLA's gather/scatter lowering
+(which on TPU serializes general scatters to ~200ns/element and runs row
+gathers far below DMA speed).
 
-  row_gather        out[j] = plane[idx[j]]          (any [R, 128] plane)
-  row_scatter_add   plane[idx[j]] += upd[j]         (REQUIRES unique idx;
-                    in-place via input_output_aliases — no table copy)
+  row_gather          out[j] = plane[idx[j]]        (any [R, 128] plane)
+  row_scatter_add     plane[idx[j]] += upd[j]       (REQUIRES unique idx;
+                      in-place via input_output_aliases — no table copy)
+  row_scatter_set     plane[idx[j]] = merge(old, upd[j]) by lane mask
+                      (REQUIRES unique idx; in-place RMW)
 
-Both use PrefetchScalarGridSpec so the row indices are available in SMEM
-before the body runs, a grid over row blocks, and a DMA-semaphore ring of
-BLK outstanding copies per step. Unique-index precondition for scatter is
-guaranteed by callers: slots are deduped, and packed storage rows are
+Row indices ride scalar prefetch (SMEM) so DMA addresses are known before
+the body runs. SMEM is ~1 MiB, so wrappers split big batches into chunks of
+CHUNK indices per pallas_call (the calls chain in one jit; the scatter plane
+is donated through the chain, staying in place). Unique-index preconditions
+are guaranteed by callers: slots are deduped, and packed storage rows are
 pre-combined (`combine_rows_by_vrow`).
 """
 
@@ -30,18 +33,23 @@ from jax.experimental.pallas import tpu as pltpu
 from meepoembedding_tpu.config import LANES
 
 BLK = 256  # rows per grid step; BLK outstanding DMAs per phase
+CHUNK = 1 << 16  # idx per pallas_call: 256 KiB of SMEM, safely under ~1 MiB
 
 
-def _pad_rows(idx, upd=None):
+def _pad_rows(idx, *upds):
     n = idx.shape[0]
     n_pad = -(-n // BLK) * BLK
     if n_pad != n:
         idx = jnp.concatenate([idx, jnp.full((n_pad - n,), -1, jnp.int32)])
-        if upd is not None:
-            upd = jnp.concatenate(
-                [upd, jnp.zeros((n_pad - n,) + upd.shape[1:], upd.dtype)]
-            )
-    return idx, upd, n
+        upds = tuple(
+            jnp.concatenate([u, jnp.zeros((n_pad - n,) + u.shape[1:], u.dtype)])
+            for u in upds
+        )
+    return (idx,) + upds + (n,)
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
 
 
 # --- gather -------------------------------------------------------------------
@@ -49,32 +57,27 @@ def _pad_rows(idx, upd=None):
 def _gather_kernel(idx_ref, plane_ref, out_ref, sems):
     i = pl.program_id(0)
 
-    def start(j, _):
-        row = idx_ref[i * BLK + j]
-        row = jnp.clip(row, 0, plane_ref.shape[0] - 1)
-        pltpu.make_async_copy(
+    def dma(j):
+        row = jnp.clip(idx_ref[i * BLK + j], 0, plane_ref.shape[0] - 1)
+        return pltpu.make_async_copy(
             plane_ref.at[pl.ds(row, 1), :], out_ref.at[pl.ds(j, 1), :], sems.at[j]
-        ).start()
+        )
+
+    def start(j, _):
+        dma(j).start()
         return 0
 
     jax.lax.fori_loop(0, BLK, start, 0)
 
     def wait(j, _):
-        row = idx_ref[i * BLK + j]
-        row = jnp.clip(row, 0, plane_ref.shape[0] - 1)
-        pltpu.make_async_copy(
-            plane_ref.at[pl.ds(row, 1), :], out_ref.at[pl.ds(j, 1), :], sems.at[j]
-        ).wait()
+        dma(j).wait()
         return 0
 
     jax.lax.fori_loop(0, BLK, wait, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def row_gather(plane: jax.Array, idx: jax.Array, interpret: bool = False) -> jax.Array:
-    """out[j] = plane[clip(idx[j])]; [n] rows from an [R, 128] plane."""
-    idx, _, n = _pad_rows(idx.astype(jnp.int32))
-    npad = idx.shape[0]
+def _gather_chunk(plane, idx_pad, interpret):
+    npad = idx_pad.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(npad // BLK,),
@@ -84,21 +87,42 @@ def row_gather(plane: jax.Array, idx: jax.Array, interpret: bool = False) -> jax
         ),
         scratch_shapes=[pltpu.SemaphoreType.DMA((BLK,))],
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _gather_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((npad, LANES), plane.dtype),
         interpret=interpret,
-    )(idx, plane)
+    )(idx_pad, plane)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _row_gather(plane, idx, interpret):
+    idx, n = _pad_rows(idx.astype(jnp.int32))
+    outs = [
+        _gather_chunk(plane, idx[o : o + CHUNK], interpret)
+        for o in range(0, idx.shape[0], CHUNK)
+    ]
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
     return out[:n]
 
 
-# --- scatter-add (in-place, unique rows) -------------------------------------
+def row_gather(plane: jax.Array, idx: jax.Array, interpret: bool = None) -> jax.Array:
+    """out[j] = plane[clip(idx[j])]; [n] rows from an [R, 128] plane."""
+    if interpret is None:
+        interpret = _default_interpret()
+    return _row_gather(plane, idx, interpret)
 
-def _scatter_add_kernel(idx_ref, upd_ref, plane_ref, out_ref, slab, rsem, wsem):
-    # out_ref aliases plane_ref's buffer (input_output_aliases): true in-place.
+
+# --- scatter RMW (in-place, unique rows) ---------------------------------------
+#
+# Pipeline per grid step i (two slabs, parity i % 2):
+#   drain writes of step i-2 (slab reuse safety) -> start+wait reads of step i
+#   -> combine in VMEM -> start writes of step i. Unique rows guarantee no
+#   read-of-unwritten-row hazards ACROSS steps. idx < 0 drops the write.
+
+def _scatter_kernel_body(idx_ref, plane_ref, out_ref, slab, rsem, wsem, combine):
     i = pl.program_id(0)
-    par = i % 2  # two slabs: overlap this step's reads with last step's writes
+    par = i % 2
     nsteps = pl.num_programs(0)
 
     def write_dma(step, j):
@@ -125,7 +149,7 @@ def _scatter_add_kernel(idx_ref, upd_ref, plane_ref, out_ref, slab, rsem, wsem):
 
         jax.lax.fori_loop(0, BLK, drain, 0)
 
-    # Reusing this slab: step i-2's writes must have landed.
+    # Reusing this parity's slab: step i-2's writes must have landed.
     @pl.when(i >= 2)
     def _():
         drain_writes(i - 2)
@@ -134,20 +158,15 @@ def _scatter_add_kernel(idx_ref, upd_ref, plane_ref, out_ref, slab, rsem, wsem):
         read_dma(j).start()
         return 0
 
+    jax.lax.fori_loop(0, BLK, start_read, 0)
+
     def wait_read(j, _):
         read_dma(j).wait()
         return 0
 
-    jax.lax.fori_loop(0, BLK, start_read, 0)
     jax.lax.fori_loop(0, BLK, wait_read, 0)
 
-    @pl.when(par == 0)
-    def _():
-        slab[0] = slab[0] + upd_ref[:].astype(slab.dtype)
-
-    @pl.when(par == 1)
-    def _():
-        slab[1] = slab[1] + upd_ref[:].astype(slab.dtype)
+    combine(par)
 
     def start_write(j, _):
         @pl.when(idx_ref[i * BLK + j] >= 0)
@@ -164,23 +183,44 @@ def _scatter_add_kernel(idx_ref, upd_ref, plane_ref, out_ref, slab, rsem, wsem):
         drain_writes(i)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
-def row_scatter_add(
-    plane: jax.Array, idx: jax.Array, upd: jax.Array, interpret: bool = False
-) -> jax.Array:
-    """plane[idx[j]] += upd[j], in place. idx MUST be unique (or < 0 to drop);
-    duplicates would race across pipelined read-modify-writes."""
-    idx, upd, _n = _pad_rows(idx.astype(jnp.int32), upd)
-    npad = idx.shape[0]
+def _scatter_add_kernel(idx_ref, upd_ref, plane_ref, out_ref, slab, rsem, wsem):
+    def combine(par):
+        @pl.when(par == 0)
+        def _():
+            slab[0] = slab[0] + upd_ref[:].astype(slab.dtype)
+
+        @pl.when(par == 1)
+        def _():
+            slab[1] = slab[1] + upd_ref[:].astype(slab.dtype)
+
+    _scatter_kernel_body(idx_ref, plane_ref, out_ref, slab, rsem, wsem, combine)
+
+
+def _scatter_set_kernel(idx_ref, upd_ref, mask_ref, plane_ref, out_ref, slab, rsem, wsem):
+    def combine(par):
+        m = mask_ref[:]
+
+        @pl.when(par == 0)
+        def _():
+            slab[0] = jnp.where(m, upd_ref[:].astype(slab.dtype), slab[0])
+
+        @pl.when(par == 1)
+        def _():
+            slab[1] = jnp.where(m, upd_ref[:].astype(slab.dtype), slab[1])
+
+    _scatter_kernel_body(idx_ref, plane_ref, out_ref, slab, rsem, wsem, combine)
+
+
+def _scatter_chunk(kernel, plane, idx_pad, *vmem_inputs, interpret):
+    npad = idx_pad.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(npad // BLK,),
         in_specs=[
-            pl.BlockSpec(
-                (BLK, LANES), lambda i, idx_ref: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+            pl.BlockSpec((BLK, LANES), lambda i, idx_ref: (i, 0), memory_space=pltpu.VMEM)
+            for _ in vmem_inputs
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, BLK, LANES), plane.dtype),
@@ -189,13 +229,53 @@ def row_scatter_add(
         ],
     )
     return pl.pallas_call(
-        _scatter_add_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(plane.shape, plane.dtype),
-        input_output_aliases={2: 0},  # plane (arg index incl. scalar prefetch)
+        input_output_aliases={1 + len(vmem_inputs): 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(idx, upd, plane)
+    )(idx_pad, *vmem_inputs, plane)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def _row_scatter_add(plane, idx, upd, interpret):
+    idx, upd, _n = _pad_rows(idx.astype(jnp.int32), upd.astype(plane.dtype))
+    for o in range(0, idx.shape[0], CHUNK):
+        plane = _scatter_chunk(
+            _scatter_add_kernel, plane, idx[o : o + CHUNK], upd[o : o + CHUNK],
+            interpret=interpret,
+        )
+    return plane
+
+
+def row_scatter_add(plane, idx, upd, interpret: bool = None) -> jax.Array:
+    """plane[idx[j]] += upd[j], in place. idx MUST be unique (or < 0 to drop);
+    duplicates would race across pipelined read-modify-writes."""
+    if interpret is None:
+        interpret = _default_interpret()
+    return _row_scatter_add(plane, idx, upd, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def _row_scatter_set(plane, idx, upd, mask, interpret):
+    idx, upd, mask, _n = _pad_rows(
+        idx.astype(jnp.int32), upd.astype(plane.dtype), mask
+    )
+    for o in range(0, idx.shape[0], CHUNK):
+        plane = _scatter_chunk(
+            _scatter_set_kernel, plane, idx[o : o + CHUNK], upd[o : o + CHUNK],
+            mask[o : o + CHUNK], interpret=interpret,
+        )
+    return plane
+
+
+def row_scatter_set(plane, idx, upd, mask, interpret: bool = None) -> jax.Array:
+    """plane[idx[j], l] = upd[j, l] where mask[j, l], else unchanged (RMW).
+    idx MUST be unique; idx[j] < 0 drops the row entirely."""
+    if interpret is None:
+        interpret = _default_interpret()
+    return _row_scatter_set(plane, idx, upd, mask.astype(jnp.bool_), interpret)
 
 
 # --- helper: make storage-row updates unique ---------------------------------

@@ -35,9 +35,9 @@ def _lookup_train(spec, shard, hi, lo, step):
     shard, slot, found = xla_ops.find_or_insert(
         spec, shard, uniq.hi, uniq.lo, uniq.valid, step
     )
-    rows = xla_ops.lookup_rows(spec, shard, slot)
+    rows = xla_ops.lookup_rows_expand(spec, shard, slot, uniq.inverse)
     miss = uniq.valid & ~found
-    return shard, rows[uniq.inverse], slot, uniq.inverse, (uniq.hi, uniq.lo, miss)
+    return shard, rows, slot, uniq.inverse, (uniq.hi, uniq.lo, miss)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -50,6 +50,12 @@ def _lookup_infer(spec, shard, hi, lo):
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
 def _apply_grads(spec, shard, slot, inverse, grads):
+    if spec.dim <= 128:  # 128-lane window-space path (see xla_ops)
+        sub_n = jnp.take(jnp.clip(slot, 0) % spec.pack, inverse)
+        g = xla_ops.segment_sum_grads_window(
+            spec, grads, sub_n, inverse, slot.shape[0]
+        )
+        return optim.apply_sparse_grads_window(spec, shard, slot, g)
     g = dedup.segment_sum_grads(grads, inverse, num_unique=slot.shape[0])
     return optim.apply_sparse_grads(spec, shard, slot, g)
 

@@ -49,47 +49,33 @@ class ProbeResult(NamedTuple):
 
 
 def probe(spec: TableSpec, shard: TableShard, uh, ul, valid) -> ProbeResult:
-    """Find slots for (deduped) keys. Linear probing over buckets; a chain
-    ends at the first bucket that has free space and was never overflowed
-    (the sticky `ovf` flag keeps this sound after evictions punch holes).
+    """Find slots for (deduped) keys: `max_probe_rounds` UNCONDITIONAL rounds
+    of bucketized linear probing. A key is found iff some round's bucket
+    holds it; missing keys simply match nothing (insert also never places a
+    key beyond `max_probe_rounds`, so non-membership is decided without any
+    chain-termination bookkeeping).
 
-    Probing rounds run under `lax.while_loop` with a global all-resolved
-    early exit: at sane load factors almost every batch resolves in ONE
-    round, so the typical cost is one key-plane row gather + one 128-wide
-    compare — the data-dependent trip count is legal in XLA (unlike
-    data-dependent shapes) and saves (R-1)x the probe work."""
+    TPU-shaped deliberately: both key planes are gathered as ONE fused
+    [n, 256] row per round (fewer, wider DMAs), and there is NO dynamic
+    control flow — measured on v5e, a lax.cond costs 12-16 ms even when NOT
+    taken (packed-bool operand layouts), and one while_loop iteration ~35 ms,
+    versus ~6 ms for an unconditional probing round."""
     nb = spec.num_buckets
     b0 = hashing.bucket_of(uh, ul, nb)
     n = uh.shape[0]
-    # chain-terminating buckets (free space, never overflowed), precomputed
-    # once: cnt/ovf only change on insert, which happens after probing
-    can_stop = (shard.cnt < LANES) & (shard.ovf == 0)
+    keys_cat = jnp.concatenate([shard.key_hi, shard.key_lo], axis=1)  # [nb, 256]
 
-    def cond(c):
-        r, resolved, _, _ = c
-        return (r < spec.max_probe_rounds) & ~resolved.all()
-
-    def body(c):
-        r, resolved, slot, found = c
+    slot = jnp.full((n,), -1, jnp.int32)
+    found = jnp.zeros((n,), bool)
+    for r in range(spec.max_probe_rounds):
         b = (b0 + r) & (nb - 1)
-        kh = jnp.take(shard.key_hi, b, axis=0)  # [n, 128]
-        kl = jnp.take(shard.key_lo, b, axis=0)
-        m = (kh == uh[:, None]) & (kl == ul[:, None])
-        hit = m.any(axis=1)
+        rowk = jnp.take(keys_cat, b, axis=0)  # [n, 256]
+        m = (rowk[:, :LANES] == uh[:, None]) & (rowk[:, LANES:] == ul[:, None])
+        hit = m.any(axis=1) & valid  # invalid (sentinel) ids match empty lanes
         lane = jnp.argmax(m, axis=1).astype(jnp.int32)
-        newly = ~resolved & hit
+        newly = hit & ~found
         slot = jnp.where(newly, b * LANES + lane, slot)
-        found = found | newly
-        resolved = resolved | hit | jnp.take(can_stop, b)
-        return (r + 1, resolved, slot, found)
-
-    init = (
-        jnp.int32(0),
-        ~valid,
-        jnp.full((n,), -1, jnp.int32),
-        jnp.zeros((n,), bool),
-    )
-    _, _, slot, found = jax.lax.while_loop(cond, body, init)
+        found = found | hit
     return ProbeResult(slot=slot, found=found)
 
 
@@ -117,17 +103,17 @@ def plan_insert(spec: TableSpec, shard: TableShard, uh, ul, want) -> InsertPlan:
     """Assign a free (bucket, lane) to each wanted key. Collision-free within
     the batch: keys targeting the same bucket get distinct ranks, and ranks
     index into the bucket's deterministic free-lane order; a per-bucket
-    `claimed` tally keeps later probing rounds consistent with earlier ones."""
+    `claimed` tally keeps later probing rounds consistent with earlier ones.
+
+    Rounds are UNROLLED, each guarded by a lax.cond on whether anything is
+    still pending (while_loop iterations cost ~35 ms of loop machinery on
+    TPU; untaken conds are ~free — the steady-state all-hit step pays
+    nothing here)."""
     nb = spec.num_buckets
     n = uh.shape[0]
     b0 = hashing.bucket_of(uh, ul, nb)
 
-    def cond(c):
-        r, pending, _, _, _, _ = c
-        return (r < spec.max_probe_rounds) & pending.any()
-
-    def body(c):
-        r, pending, slot, cnt, ovf, claimed = c
+    def round_step(r, pending, slot, cnt, ovf, claimed):
         b = (b0 + r) & (nb - 1)
         sort_key = jnp.where(pending, b, nb)  # nb == "not pending" sentinel
         order, rank_sorted = _segmented_rank(sort_key)
@@ -148,19 +134,23 @@ def plan_insert(spec: TableSpec, shard: TableShard, uh, ul, want) -> InsertPlan:
         claimed = claimed.at[jnp.where(ok, b, nb)].add(1, mode="drop")
         cnt = cnt.at[jnp.where(ok, b, nb)].add(1, mode="drop")
         ovf = ovf.at[jnp.where(fail, b, nb)].max(1, mode="drop")
-        return (r + 1, fail, slot, cnt, ovf, claimed)
+        return (fail, slot, cnt, ovf, claimed)
 
-    init = (
-        jnp.int32(0),
+    state = (
         want,
         jnp.full((n,), -1, jnp.int32),
         shard.cnt,
         shard.ovf,
         jnp.zeros((nb,), jnp.int32),
     )
-    # Early exit: zero rounds when nothing wants insertion (the steady-state
-    # all-hit step), k rounds when the deepest pending key needs k.
-    _, _, slot, cnt, ovf, _ = jax.lax.while_loop(cond, body, init)
+    for r in range(spec.max_probe_rounds):
+        state = jax.lax.cond(
+            state[0].any(),
+            lambda state, r=r: round_step(jnp.int32(r), *state),
+            lambda state: state,
+            state,
+        )
+    _, slot, cnt, ovf, _ = state
     return InsertPlan(slot=slot, ok=want & (slot >= 0), cnt=cnt, ovf=ovf)
 
 
@@ -292,20 +282,19 @@ def scatter_bucket_plane(plane, slot, val, enabled):
 
 
 def scatter_add_bucket_plane(plane, slot, val, enabled):
-    """plane[(slot // 128, slot %% 128)] += val, same row-RMW scheme."""
+    """plane[(slot // 128, slot %% 128)] += val via one-hot row expansion +
+    a duplicate-tolerant row scatter-add. XLA's [R,128] row-granular
+    scatter-add is fast on TPU even with duplicate rows (measured ~7ms for
+    512K rows); slots are unique, so per ELEMENT there is at most one nonzero
+    contribution — the add is exact."""
     n = slot.shape[0]
     b, lane = slot // LANES, slot % LANES
     onehot = jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 1) == lane[:, None]
     acc_dtype = plane.dtype if jnp.issubdtype(plane.dtype, jnp.integer) else jnp.float32
     val = jnp.broadcast_to(val, (n,)).astype(acc_dtype)
-    rows = jnp.where(onehot, val[:, None], jnp.zeros((), acc_dtype))
-    from meepoembedding_tpu.table.pallas_ops import combine_rows_by_vrow
-
-    ub, comb = combine_rows_by_vrow(b, rows, enabled)
-    old = jnp.take(plane, jnp.clip(ub, 0), axis=0).astype(acc_dtype)
-    merged = (old + comb.astype(acc_dtype)).astype(plane.dtype)
-    idx = jnp.where(ub >= 0, ub, plane.shape[0])
-    return plane.at[idx].set(merged, mode="drop", unique_indices=True)
+    rows = jnp.where(onehot, val[:, None], jnp.zeros((), acc_dtype)).astype(plane.dtype)
+    idx = jnp.where(enabled, b, plane.shape[0])
+    return plane.at[idx].add(rows, mode="drop")
 
 
 def gather_bucket_plane(plane, slot):
@@ -355,24 +344,26 @@ def find_or_insert(
     plan = plan_insert(spec, shard, uh, ul, admit)
 
     def do_insert_writes(planes):
+        # Every write is an exact ADD over the zeroed free-slot state (see
+        # alloc_shard invariant): keys land as `key - EMPTY` on the EMPTY
+        # sentinel (int32 wraparound cancels exactly), values/accumulators
+        # land on zeros. ADD scatters tolerate duplicate bucket rows, so no
+        # combine pass is needed. Fresh full-dim optimizer state is zero by
+        # invariant — no write at all.
         key_hi, key_lo, freq, last, values, opt_rowwise, opt_fulldim = planes
-        key_hi = scatter_bucket_plane(key_hi, plan.slot, uh, plan.ok)
-        key_lo = scatter_bucket_plane(key_lo, plan.slot, ul, plan.ok)
-        freq = scatter_bucket_plane(freq, plan.slot, jnp.ones_like(uh), plan.ok)
-        last = scatter_bucket_plane(last, plan.slot, jnp.full_like(uh, step), plan.ok)
+        key_hi = scatter_add_bucket_plane(key_hi, plan.slot, uh - hashing.EMPTY_HI, plan.ok)
+        key_lo = scatter_add_bucket_plane(key_lo, plan.slot, ul - hashing.EMPTY_LO, plan.ok)
+        freq = scatter_add_bucket_plane(freq, plan.slot, jnp.ones_like(uh), plan.ok)
+        last = scatter_add_bucket_plane(last, plan.slot, jnp.full_like(uh, step), plan.ok)
         init_rows = hashing.default_rows(
             uh, ul, spec.dim, spec.initializer_scale, spec.dtype
         )
-        values = scatter_set_values(spec, values, plan.slot, init_rows, plan.ok)
+        values = scatter_add_values(spec, values, plan.slot, init_rows, plan.ok)
         opt_rowwise = tuple(
-            scatter_bucket_plane(
+            scatter_add_bucket_plane(
                 p, plan.slot, jnp.float32(spec.optimizer.initial_accumulator), plan.ok
             )
             for p in opt_rowwise
-        )
-        opt_fulldim = tuple(
-            scatter_set_values(spec, p, plan.slot, jnp.zeros_like(init_rows), plan.ok)
-            for p in opt_fulldim
         )
         return key_hi, key_lo, freq, last, values, opt_rowwise, opt_fulldim
 
@@ -431,6 +422,74 @@ def lookup_rows(spec: TableSpec, shard: TableShard, slot) -> jax.Array:
     return jnp.where((slot >= 0)[:, None], rows, 0)
 
 
+# --- 128-lane window-space hot path (dim < 128) -------------------------------
+#
+# Padded-minor ops are poison on TPU: a [n, 32] gather runs ~6x slower than a
+# [n, 128] one (the [n,32] inverse expansion alone measured 20 ms vs ~2.4 ms
+# at 128 lanes). The training hot path therefore keeps rows in their PACKED
+# 128-lane storage form ("window space": a slot's dim values live at lanes
+# [sub*dim, (sub+1)*dim)) through lookup, inverse expansion, gradient
+# collection and the optimizer update; the [*, dim] view only materializes at
+# the model boundary via MXU window extract/place matmuls.
+
+def lookup_rows128(spec: TableSpec, shard: TableShard, slot):
+    """[U] slots -> ([U, 128] masked storage rows, [U] window index)."""
+    s = jnp.clip(slot, 0)
+    vrow = s // spec.pack
+    g = jnp.take(shard.values, vrow, axis=0)
+    g = jnp.where((slot >= 0)[:, None], g, 0)
+    return g, s % spec.pack
+
+
+def window_extract(spec: TableSpec, g128, sub) -> jax.Array:
+    """[n, 128] window-space rows + [n] window index -> [n, dim]."""
+    if spec.dim == LANES:
+        return g128.astype(jnp.float32)
+    n = g128.shape[0]
+    g = g128.astype(jnp.float32)
+    out = jnp.zeros((n, spec.dim), jnp.float32)
+    for p, ep in enumerate(_window_select_mats(spec)):
+        m = (sub == p).astype(jnp.float32)[:, None]
+        out = out + jnp.dot(g * m, ep, preferred_element_type=jnp.float32)
+    return out
+
+
+def window_place(spec: TableSpec, x, sub) -> jax.Array:
+    """[n, dim] + [n] window index -> [n, 128] window-space rows (zeros
+    outside each row's window). Adjoint of window_extract."""
+    if spec.dim == LANES:
+        return x.astype(jnp.float32)
+    n = x.shape[0]
+    x = x.astype(jnp.float32)
+    out = jnp.zeros((n, LANES), jnp.float32)
+    for p, ep in enumerate(_window_select_mats(spec)):
+        m = (sub == p).astype(jnp.float32)[:, None]
+        out = out + jnp.dot(x * m, ep.T, preferred_element_type=jnp.float32)
+    return out
+
+
+def lookup_rows_expand(
+    spec: TableSpec, shard: TableShard, slot, inverse
+) -> jax.Array:
+    """[U] slots + [n] inverse -> [n, dim] rows in batch order, staying in
+    128-lane space through both gathers (see module note above)."""
+    if spec.dim >= LANES:
+        rows = lookup_rows(spec, shard, slot)
+        return rows[inverse]
+    g, sub = lookup_rows128(spec, shard, slot)
+    gn = jnp.take(g, inverse, axis=0)  # [n, 128]
+    sub_n = jnp.take(sub, inverse)
+    return window_extract(spec, gn, sub_n).astype(spec.dtype)
+
+
+def segment_sum_grads_window(spec: TableSpec, g, sub_n, inverse, num_unique):
+    """[n, dim] per-occurrence grads -> [U, 128] WINDOW-SPACE per-slot grads:
+    place each grad into its row's lane window, then one duplicate-tolerant
+    row scatter-add. All traffic stays at 128 lanes."""
+    gw = window_place(spec, g, sub_n)  # [n, 128]
+    return jnp.zeros((num_unique, LANES), jnp.float32).at[inverse].add(gw, mode="drop")
+
+
 class EvictExport(NamedTuple):
     hi: jax.Array  # i32 [E]
     lo: jax.Array  # i32 [E]
@@ -463,6 +522,7 @@ def evict_pass(spec: TableSpec, shard: TableShard, step) -> Tuple[TableShard, Ev
     lo = gather_bucket_plane(shard.key_lo, slot_c)
     rows = gather_values(spec, shard.values, slot_c)
     freq = gather_bucket_plane(shard.freq, slot_c)
+    last_g = gather_bucket_plane(shard.last, slot_c)
     if shard.opt_rowwise:
         accum = gather_bucket_plane(shard.opt_rowwise[0], slot_c)
     else:
@@ -470,15 +530,29 @@ def evict_pass(spec: TableSpec, shard: TableShard, step) -> Tuple[TableShard, Ev
     fulldim = tuple(gather_values(spec, p, slot_c) for p in shard.opt_fulldim)
     count = jnp.sum(sel).astype(jnp.int32)
 
-    key_hi = scatter_bucket_plane(shard.key_hi, slot, jnp.full_like(slot, hashing.EMPTY_HI), sel)
-    key_lo = scatter_bucket_plane(shard.key_lo, slot, jnp.full_like(slot, hashing.EMPTY_LO), sel)
-    freq_p = scatter_bucket_plane(shard.freq, slot, jnp.zeros_like(slot), sel)
-    last_p = scatter_bucket_plane(shard.last, slot, jnp.zeros_like(slot), sel)
+    # Clear freed slots by EXACT subtraction back to the free-slot zero state
+    # (alloc_shard invariant): keys return to the EMPTY sentinel via int32
+    # wraparound; values/optimizer planes return to exact 0 (x - x == +0).
+    key_hi = scatter_add_bucket_plane(shard.key_hi, slot, hashing.EMPTY_HI - hi, sel)
+    key_lo = scatter_add_bucket_plane(shard.key_lo, slot, hashing.EMPTY_LO - lo, sel)
+    freq_p = scatter_add_bucket_plane(shard.freq, slot, -freq, sel)
+    last_p = scatter_add_bucket_plane(shard.last, slot, -last_g, sel)
+    values_p = scatter_add_values(spec, shard.values, slot, -rows, sel)
+    opt_rowwise = shard.opt_rowwise
+    if shard.opt_rowwise:
+        opt_rowwise = (
+            scatter_add_bucket_plane(shard.opt_rowwise[0], slot, -accum, sel),
+        ) + shard.opt_rowwise[1:]
+    opt_fulldim = tuple(
+        scatter_add_values(spec, p, slot, -f, sel)
+        for p, f in zip(shard.opt_fulldim, fulldim)
+    )
     b = jnp.where(sel, slot // LANES, shard.cnt.shape[0])
     cnt = shard.cnt.at[b].add(-1, mode="drop")
     counters = shard.counters.at[EVICTIONS].add(count)
     shard = shard._replace(
-        key_hi=key_hi, key_lo=key_lo, freq=freq_p, last=last_p, cnt=cnt, counters=counters
+        key_hi=key_hi, key_lo=key_lo, freq=freq_p, last=last_p, values=values_p,
+        opt_rowwise=opt_rowwise, opt_fulldim=opt_fulldim, cnt=cnt, counters=counters,
     )
     export = EvictExport(
         hi=jnp.where(sel, hi, hashing.EMPTY_HI),

@@ -71,17 +71,36 @@ class Trainer:
             shard, slot, _found = xla_ops.find_or_insert(
                 spec, shard, uniq.hi, uniq.lo, uniq.valid, step
             )
-            rows_u = xla_ops.lookup_rows(spec, shard, slot)
+            if spec.dim <= 128:
+                # differentiate w.r.t. the [U, 128] window-space rows: the
+                # backward pass then emits window-space grads directly and
+                # every gather/scatter stays at 128 lanes (xla_ops note)
+                g128, sub = xla_ops.lookup_rows128(spec, shard, slot)
+                sub_n = jnp.take(sub, uniq.inverse)
 
-            def loss_fn(params, rows_u):
-                emb = rows_u[uniq.inverse].reshape(b, s, spec.dim)
-                logits = model.apply(params, dense, emb)
-                return bce_with_logits(logits, label), logits
+                def loss_fn(params, g128):
+                    emb = xla_ops.window_extract(
+                        spec, g128[uniq.inverse], sub_n
+                    ).reshape(b, s, spec.dim)
+                    logits = model.apply(params, dense, emb)
+                    return bce_with_logits(logits, label), logits
 
-            (loss, logits), (g_dense, g_rows) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True
-            )(params, rows_u)
-            shard = optim.apply_sparse_grads(spec, shard, slot, g_rows)
+                (loss, logits), (g_dense, g_win) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(params, g128)
+                shard = optim.apply_sparse_grads_window(spec, shard, slot, g_win)
+            else:
+                rows_u = xla_ops.lookup_rows(spec, shard, slot)
+
+                def loss_fn(params, rows_u):
+                    emb = rows_u[uniq.inverse].reshape(b, s, spec.dim)
+                    logits = model.apply(params, dense, emb)
+                    return bce_with_logits(logits, label), logits
+
+                (loss, logits), (g_dense, g_rows) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(params, rows_u)
+                shard = optim.apply_sparse_grads(spec, shard, slot, g_rows)
             params, opt_state = optim.dense_adam_update(params, g_dense, opt_state, lr)
             return shard, params, opt_state, loss, logits
 

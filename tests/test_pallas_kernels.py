@@ -13,6 +13,7 @@ from meepoembedding_tpu.table.pallas_ops import (
     combine_rows_by_vrow,
     row_gather,
     row_scatter_add,
+    row_scatter_set,
 )
 
 
@@ -54,6 +55,37 @@ def test_row_scatter_add_negative_idx_dropped(rng):
     got = row_scatter_add(jnp.asarray(plane), jnp.asarray(idx), jnp.asarray(upd),
                           interpret=True)
     np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-6)
+
+
+@pytest.mark.parametrize("n", [4, BLK + 9])
+def test_row_scatter_set_masked(rng, n):
+    rows = 2 * BLK
+    plane = rng.normal(size=(rows, 128)).astype(np.float32)
+    idx = rng.choice(rows, size=n, replace=False).astype(np.int32)
+    upd = rng.normal(size=(n, 128)).astype(np.float32)
+    mask = rng.random((n, 128)) < 0.4
+    expect = plane.copy()
+    for j in range(n):
+        expect[idx[j]] = np.where(mask[j], upd[j], expect[idx[j]])
+    got = row_scatter_set(
+        jnp.asarray(plane), jnp.asarray(idx), jnp.asarray(upd), jnp.asarray(mask),
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), expect)
+
+
+def test_row_scatter_set_negative_idx_dropped(rng):
+    plane = rng.normal(size=(BLK, 128)).astype(np.float32)
+    idx = np.array([5, -1], np.int32)
+    upd = rng.normal(size=(2, 128)).astype(np.float32)
+    mask = np.ones((2, 128), bool)
+    expect = plane.copy()
+    expect[5] = upd[0]
+    got = row_scatter_set(
+        jnp.asarray(plane), jnp.asarray(idx), jnp.asarray(upd), jnp.asarray(mask),
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), expect)
 
 
 def test_combine_rows_by_vrow_disjoint_exact(rng):
