@@ -111,12 +111,13 @@ class TableConfig:
 class ModelConfig:
     """DLRM/CTR model geometry (SURVEY.md C16)."""
 
-    kind: str = "dlrm"  # "dlrm" | "ctr_mlp"
+    kind: str = "dlrm"  # "dlrm" | "ctr_mlp" | "dcn"
     num_dense_features: int = 13
     num_sparse_features: int = 26
     embedding_dim: int = 32
     bottom_mlp: Tuple[int, ...] = (128, 64, 32)
     top_mlp: Tuple[int, ...] = (256, 128, 1)
+    num_cross_layers: int = 3  # dcn only
     dtype: str = "float32"
 
 

@@ -1,4 +1,5 @@
 from meepoembedding_tpu.models.ctr_mlp import CtrMlp  # noqa: F401
+from meepoembedding_tpu.models.dcn import DCNv2  # noqa: F401
 from meepoembedding_tpu.models.dlrm import DLRM  # noqa: F401
 
 
@@ -7,4 +8,6 @@ def build_model(cfg):
         return DLRM(cfg)
     if cfg.kind == "ctr_mlp":
         return CtrMlp(cfg)
+    if cfg.kind == "dcn":
+        return DCNv2(cfg)
     raise ValueError(f"unknown model kind: {cfg.kind}")

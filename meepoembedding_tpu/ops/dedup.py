@@ -96,24 +96,29 @@ def unique_pairs(hi: jax.Array, lo: jax.Array, size: int) -> Unique:
 
     If the true unique count exceeds `size`, the overflow ids alias the last
     slot (counted, never out-of-bounds) — callers size `size` to the batch.
-    """
+
+    ONE multi-operand `lax.sort` carries (hi, lo, position) through a 2-key
+    lexicographic sort (jnp.lexsort + post-gathers costs 2 extra stable sorts
+    and three serialized 1-D gathers); the inverse permutation comes from a
+    unique-index 1-D scatter instead of a second argsort."""
     n = hi.shape[0]
-    # Sort lexicographically by (hi, lo); put invalid ids LAST so that
-    # truncation under overflow drops them first. Bias keys for unsigned
-    # comparison of two's-complement halves.
+    # Bias keys for unsigned comparison of two's-complement halves; invalid
+    # ids sort LAST so truncation under overflow drops them first.
     inval = ~hashing.is_valid(hi, lo)
     bh = hi.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
     bh = jnp.where(inval, jnp.uint32(0xFFFFFFFF), bh)
-    order = jnp.lexsort((lo.astype(jnp.uint32) ^ jnp.uint32(0x80000000), bh))
-    sh, sl = jnp.take(hi, order), jnp.take(lo, order)
+    bl = lo.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sbh, sbl, order, sh, sl = jax.lax.sort(
+        (bh, bl, iota, hi, lo), num_keys=2, is_stable=True
+    )
     is_new = jnp.concatenate(
-        [jnp.ones((1,), bool), (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])]
+        [jnp.ones((1,), bool), (sbh[1:] != sbh[:-1]) | (sbl[1:] != sbl[:-1])]
     )
     gid0 = jnp.cumsum(is_new).astype(jnp.int32) - 1  # [n] group id in sorted order
     gid = jnp.minimum(gid0, size - 1)  # overflow aliases the last slot
-    # inverse[order[j]] = gid[j], via a second argsort instead of a 1-D
-    # scatter (XLA TPU serializes general scatters; sorts are vectorized)
-    inverse = jnp.take(gid, jnp.argsort(order))
+    # inverse[order[j]] = gid[j]: one unique-index 1-D scatter
+    inverse = jnp.zeros((n,), jnp.int32).at[order].set(gid, unique_indices=True)
     # write each group's key at its first occurrence only (unique indices;
     # overflow groups beyond `size` are dropped, not aliased-by-UB)
     first_idx = jnp.where(is_new & (gid0 < size), gid0, size)

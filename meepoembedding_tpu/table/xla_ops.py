@@ -48,34 +48,72 @@ class ProbeResult(NamedTuple):
     found: jax.Array  # bool [n]
 
 
+def probe_bucket(spec: TableSpec, r: int, b0) -> jax.Array:
+    """Bucket visited at probing round r: XOR probing (b0 ^ r). XOR keeps the
+    sequence inside the power-of-two table AND keeps rounds 2g/2g+1 within
+    one aligned bucket PAIR, so the probe fetches two rounds per gather."""
+    return b0 ^ jnp.int32(r)
+
+
 def probe(spec: TableSpec, shard: TableShard, uh, ul, valid) -> ProbeResult:
     """Find slots for (deduped) keys: `max_probe_rounds` UNCONDITIONAL rounds
-    of bucketized linear probing. A key is found iff some round's bucket
-    holds it; missing keys simply match nothing (insert also never places a
-    key beyond `max_probe_rounds`, so non-membership is decided without any
+    of bucketized XOR probing. A key is found iff some round's bucket holds
+    it; missing keys simply match nothing (insert also never places a key
+    beyond `max_probe_rounds`, so non-membership is decided without any
     chain-termination bookkeeping).
 
-    TPU-shaped deliberately: both key planes are gathered as ONE fused
-    [n, 256] row per round (fewer, wider DMAs), and there is NO dynamic
-    control flow — measured on v5e, a lax.cond costs 12-16 ms even when NOT
-    taken (packed-bool operand layouts), and one while_loop iteration ~35 ms,
-    versus ~6 ms for an unconditional probing round."""
+    TPU-shaped deliberately:
+    - NO dynamic control flow: measured on v5e, a lax.cond costs 12-16 ms
+      even when NOT taken (packed-bool operand layouts) and one while_loop
+      iteration ~35 ms, versus ~6 ms for an unconditional probing round.
+    - ONE [n, 512] gather per TWO rounds: both key planes of bucket pair
+      {2p, 2p+1} ride a single 2 KiB row (XOR probing keeps rounds 2g/2g+1
+      in one pair), halving gather ops and doubling DMA row width."""
     nb = spec.num_buckets
     b0 = hashing.bucket_of(uh, ul, nb)
     n = uh.shape[0]
-    keys_cat = jnp.concatenate([shard.key_hi, shard.key_lo], axis=1)  # [nb, 256]
+    rounds = min(spec.max_probe_rounds, nb)
 
     slot = jnp.full((n,), -1, jnp.int32)
     found = jnp.zeros((n,), bool)
-    for r in range(spec.max_probe_rounds):
-        b = (b0 + r) & (nb - 1)
-        rowk = jnp.take(keys_cat, b, axis=0)  # [n, 256]
-        m = (rowk[:, :LANES] == uh[:, None]) & (rowk[:, LANES:] == ul[:, None])
-        hit = m.any(axis=1) & valid  # invalid (sentinel) ids match empty lanes
-        lane = jnp.argmax(m, axis=1).astype(jnp.int32)
-        newly = hit & ~found
-        slot = jnp.where(newly, b * LANES + lane, slot)
-        found = found | hit
+    if nb >= 2:
+        keys_pair = jnp.concatenate(
+            [
+                shard.key_hi.reshape(nb // 2, 2 * LANES),
+                shard.key_lo.reshape(nb // 2, 2 * LANES),
+            ],
+            axis=1,
+        )  # [nb/2, 512]: [hi_even | hi_odd | lo_even | lo_odd]
+        p0 = b0 >> 1
+        for g in range((rounds + 1) // 2):
+            # probing one extra round when `rounds` is odd is harmless: no
+            # key is ever stored beyond its insert rounds, so it can't match
+            pg = p0 ^ g
+            row = jnp.take(keys_pair, pg, axis=0)  # [n, 512]
+            m_e = (row[:, :LANES] == uh[:, None]) & (
+                row[:, 2 * LANES : 3 * LANES] == ul[:, None]
+            )
+            m_o = (row[:, LANES : 2 * LANES] == uh[:, None]) & (
+                row[:, 3 * LANES :] == ul[:, None]
+            )
+            # invalid (sentinel) ids would match empty lanes -> mask by valid
+            hit_e = m_e.any(axis=1) & valid
+            hit_o = m_o.any(axis=1) & valid
+            lane_e = jnp.argmax(m_e, axis=1).astype(jnp.int32)
+            lane_o = jnp.argmax(m_o, axis=1).astype(jnp.int32)
+            slot_g = jnp.where(
+                hit_e, pg * 2 * LANES + lane_e, (pg * 2 + 1) * LANES + lane_o
+            )
+            hit = hit_e | hit_o  # a key exists in at most one slot
+            newly = hit & ~found
+            slot = jnp.where(newly, slot_g, slot)
+            found = found | hit
+    else:
+        kh, kl = shard.key_hi, shard.key_lo  # nb == 1: single bucket
+        m = (kh[0][None, :] == uh[:, None]) & (kl[0][None, :] == ul[:, None])
+        hit = m.any(axis=1) & valid
+        slot = jnp.where(hit, jnp.argmax(m, axis=1).astype(jnp.int32), -1)
+        found = hit
     return ProbeResult(slot=slot, found=found)
 
 
@@ -114,7 +152,7 @@ def plan_insert(spec: TableSpec, shard: TableShard, uh, ul, want) -> InsertPlan:
     b0 = hashing.bucket_of(uh, ul, nb)
 
     def round_step(r, pending, slot, cnt, ovf, claimed):
-        b = (b0 + r) & (nb - 1)
+        b = probe_bucket(spec, r, b0)  # XOR sequence, must match probe()
         sort_key = jnp.where(pending, b, nb)  # nb == "not pending" sentinel
         order, rank_sorted = _segmented_rank(sort_key)
         rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
@@ -143,7 +181,7 @@ def plan_insert(spec: TableSpec, shard: TableShard, uh, ul, want) -> InsertPlan:
         shard.ovf,
         jnp.zeros((nb,), jnp.int32),
     )
-    for r in range(spec.max_probe_rounds):
+    for r in range(min(spec.max_probe_rounds, nb)):
         state = jax.lax.cond(
             state[0].any(),
             lambda state, r=r: round_step(jnp.int32(r), *state),

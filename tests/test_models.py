@@ -19,7 +19,7 @@ def _cfg(kind):
 
 
 def test_shapes_and_grads():
-    for kind in ("dlrm", "ctr_mlp"):
+    for kind in ("dlrm", "ctr_mlp", "dcn"):
         cfg = _cfg(kind)
         m = build_model(cfg)
         params = m.init(jax.random.PRNGKey(0))
@@ -55,3 +55,42 @@ def test_dlrm_interaction_symmetry():
     emb = jnp.asarray(np.random.default_rng(0).normal(size=(1, 3, 8)).astype(np.float32))
     l1 = m.apply(params, dense, emb)
     assert np.isfinite(np.asarray(l1)).all()
+
+
+def test_dcn_cross_is_polynomial():
+    """With zero deep/head nonlinearity interference, one cross layer of
+    x0 * (Wx + b) + x produces exact degree-2 interactions: doubling x0
+    quadruples the quadratic part. Sanity-check the cross recursion."""
+    cfg = _cfg("dcn")
+    m = build_model(cfg)
+    params = m.init(jax.random.PRNGKey(2))
+    rng = np.random.default_rng(0)
+    dense = jnp.asarray(rng.normal(size=(2, 4)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(2, 3, 8)).astype(np.float32))
+    x0 = jnp.concatenate([dense, emb.reshape(2, -1)], axis=1)
+    w, b = params["cross"][0]
+    x1 = x0 * (x0 @ w + b) + x0
+    x1_2 = (2 * x0) * ((2 * x0) @ w + b) + 2 * x0
+    quad = x1 - x0 * b - x0          # quadratic part of x1
+    quad2 = x1_2 - 2 * x0 * b - 2 * x0
+    np.testing.assert_allclose(np.asarray(quad2), 4 * np.asarray(quad), rtol=1e-4)
+
+
+def test_dcn_trains_e2e():
+    """DCNv2 over the dynamic table lifts AUC above chance on the planted
+    synthetic stream (config-1-style integration, SURVEY.md §4.6)."""
+    from meepoembedding_tpu.config import RunConfig, TableConfig
+    from meepoembedding_tpu.data.synthetic import SyntheticConfig, SyntheticStream
+    from meepoembedding_tpu.train import train
+
+    run = RunConfig(batch_size=256, steps=40, log_every=20, dense_learning_rate=3e-3)
+    table = TableConfig(dim=8, capacity=1 << 14)
+    model = ModelConfig(
+        kind="dcn", num_dense_features=4, num_sparse_features=3,
+        embedding_dim=8, top_mlp=(32, 1), num_cross_layers=2,
+    )
+    stream = SyntheticStream(SyntheticConfig(
+        num_dense=4, num_sparse=3, batch_size=256, vocab_per_feature=500, seed=3,
+    ))
+    tr = train(run, table, model, stream)
+    assert tr.auc.compute() > 0.54, tr.auc.compute()
