@@ -18,6 +18,7 @@ default 2^19), MEEPO_BENCH_DIM (default 32), MEEPO_BENCH_STEPS (default 20).
 """
 
 import json
+from functools import partial
 import os
 import sys
 import time
@@ -66,10 +67,19 @@ def main():
         idx = (np.arange(lo_idx, lo_idx + n, dtype=np.int64)) * key_mult
         return idx
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def prefill_step(shard, hi, lo, step):
         valid = hashing.is_valid(hi, lo)
-        shard, _, _ = xla_ops.find_or_insert(spec, shard, hi, lo, valid, step)
+        if spec.dim <= 128:
+            # fused path: values land via the size-dispatched scatter (the
+            # find_or_insert cond would carry the values plane and force XLA
+            # to double-buffer it -> OOM for >HBM/2 tables)
+            shard, ctx = xla_ops.lookup_train(spec, shard, hi, lo, valid, step)
+            shard = optim.apply_sparse_grads_ctx(
+                spec, shard, ctx, jnp.zeros_like(ctx.g128)
+            )
+        else:
+            shard, _, _ = xla_ops.find_or_insert(spec, shard, hi, lo, valid, step)
         return shard
 
     prefill_batch = min(batch, 1 << 20)
@@ -93,21 +103,27 @@ def main():
         cold = rng.integers(0, n_live, size=batch - len(hot))
         return np.concatenate([hot, cold]) * key_mult
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_cycle(shard, hi, lo, grad_seed, step):
         uniq = dedup.unique_pairs(hi, lo, hi.shape[0])
-        shard, slot, _ = xla_ops.find_or_insert(spec, shard, uniq.hi, uniq.lo, uniq.valid, step)
         if spec.dim <= 128:
-            # 128-lane window-space path (padded-minor ops are ~6x slower)
-            g128, sub = xla_ops.lookup_rows128(spec, shard, slot)
-            sub_n = jnp.take(sub, uniq.inverse)
-            out = xla_ops.window_extract(spec, g128[uniq.inverse], sub_n)
+            # fused 128-lane window-space path: lookup_train leaves the
+            # values plane untouched (fresh inits fold into the ONE update
+            # scatter — XLA scatters materialize the whole plane)
+            shard, ctx = xla_ops.lookup_train(
+                spec, shard, uniq.hi, uniq.lo, uniq.valid, step
+            )
+            sub_n = jnp.take(ctx.sub, uniq.inverse)
+            out = xla_ops.window_extract(spec, ctx.g128[uniq.inverse], sub_n)
             g = out * 1e-3 + grad_seed  # synthetic model grads at [n, dim]
             g_u = xla_ops.segment_sum_grads_window(
                 spec, g, sub_n, uniq.inverse, uniq.hi.shape[0]
             )
-            shard = optim.apply_sparse_grads_window(spec, shard, slot, g_u)
+            shard = optim.apply_sparse_grads_ctx(spec, shard, ctx, g_u)
         else:
+            shard, slot, _ = xla_ops.find_or_insert(
+                spec, shard, uniq.hi, uniq.lo, uniq.valid, step
+            )
             rows = xla_ops.lookup_rows(spec, shard, slot)
             out = rows[uniq.inverse]
             g = out * 1e-3 + grad_seed
@@ -136,9 +152,16 @@ def main():
     windows = []
     for _w in range(3):
         t0 = time.perf_counter()
+        accs = []
         for i, (h, l) in enumerate(batches):
             shard, acc = train_cycle(shard, h, l, gseed, jnp.int32(2 + i))
-        jax.block_until_ready(acc)
+            accs.append(acc)
+            # cap dispatch depth: overlapping transients of many in-flight
+            # steps exhaust HBM on big tables (sync depth via env, default 2)
+            d = int(os.environ.get("MEEPO_BENCH_DEPTH", 2))
+            if i >= d:
+                jax.block_until_ready(accs[i - d])
+        jax.block_until_ready(accs[-1])
         windows.append((time.perf_counter() - t0) / steps)
     dt = min(windows)
     ids_per_sec = batch / dt
@@ -148,7 +171,7 @@ def main():
     # --- speed-of-light baseline: static gather + scatter-add, same geometry -
     values = shard.values  # reuse allocation
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def static_cycle(values, slot, grad_seed):
         rows = xla_ops.gather_values(spec, values, slot)
         g = rows * 1e-3 + grad_seed

@@ -41,8 +41,60 @@ def row_apply_delta(spec: TableSpec, plane, slot, delta, enabled):
         en = enabled
     else:
         en = jnp.repeat(enabled, spec.rows_per_slot)
-    idx = jnp.where(en, vrow, plane.shape[0])
-    return plane.at[idx].add(rowupd.astype(plane.dtype), mode="drop")
+    from meepoembedding_tpu.table.stream_merge import values_scatter_add
+
+    return values_scatter_add(plane, jnp.where(en, vrow, plane.shape[0]), rowupd)
+
+
+def apply_sparse_grads_ctx(
+    spec: TableSpec, shard: TableShard, ctx, gwin: jax.Array
+) -> TableShard:
+    """Fused update for the `xla_ops.lookup_train` hot path: the values plane
+    receives fresh-row INIT + optimizer delta in ONE scatter pass (XLA:TPU
+    scatter materializes the full plane, so each extra write costs a whole-
+    table pass), and fresh rows' accumulator init rides the accum scatter.
+    Window-space [U, 128] grads; rowwise/sgd only (the production hot loop);
+    other optimizer kinds take a two-pass fallback."""
+    opt = spec.optimizer
+    slot, fresh = ctx.slot, ctx.fresh
+    enabled = slot >= 0
+    gwin = jnp.where(enabled[:, None], gwin, 0).astype(jnp.float32)
+    vrow = jnp.where(enabled, jnp.clip(slot, 0) // spec.pack, shard.values.shape[0])
+    init_add = jnp.where(fresh[:, None], ctx.g128.astype(jnp.float32), 0.0)
+    from meepoembedding_tpu.table.stream_merge import values_scatter_add
+
+    if opt.kind == "sgd":
+        delta = init_add - opt.learning_rate * gwin
+        values = values_scatter_add(shard.values, vrow, delta)
+        return shard._replace(values=values)
+    if opt.kind == "rowwise_adagrad":
+        (accum_plane,) = shard.opt_rowwise
+        a_old = gather_bucket_plane(accum_plane, slot)  # fresh slots -> 0
+        g2 = jnp.sum(gwin * gwin, axis=1) / spec.dim
+        acc_add = g2 + jnp.where(fresh, jnp.float32(opt.initial_accumulator), 0.0)
+        a_new = a_old + acc_add
+        accum_plane = scatter_add_bucket_plane(accum_plane, slot, acc_add, enabled)
+        scale = opt.learning_rate * jax.lax.rsqrt(a_new + opt.eps)
+        delta = init_add - scale[:, None] * gwin
+        values = values_scatter_add(shard.values, vrow, delta)
+        return shard._replace(values=values, opt_rowwise=(accum_plane,))
+    # fallback (adagrad/adam): write fresh inits, then the generic path.
+    # Fresh full-dim slots are zero by the alloc invariant; fresh rowwise
+    # accumulators get their init here so the generic math sees it.
+    from meepoembedding_tpu.table.xla_ops import scatter_add_values, window_extract
+
+    values = scatter_add_values(spec, shard.values, slot, ctx.g128, fresh)
+    shard = shard._replace(values=values)
+    if shard.opt_rowwise:
+        acc0 = jnp.full_like(ctx.sub, opt.initial_accumulator, jnp.float32)
+        shard = shard._replace(
+            opt_rowwise=(
+                scatter_add_bucket_plane(shard.opt_rowwise[0], slot, acc0, fresh),
+            )
+            + shard.opt_rowwise[1:]
+        )
+    grad = window_extract(spec, gwin, ctx.sub)
+    return apply_sparse_grads(spec, shard, slot, grad)
 
 
 def apply_sparse_grads_window(
@@ -57,10 +109,10 @@ def apply_sparse_grads_window(
     enabled = slot >= 0
     gwin = jnp.where(enabled[:, None], gwin, 0).astype(jnp.float32)
     vrow = jnp.where(enabled, jnp.clip(slot, 0) // spec.pack, shard.values.shape[0])
+    from meepoembedding_tpu.table.stream_merge import values_scatter_add
+
     if opt.kind == "sgd":
-        values = shard.values.at[vrow].add(
-            (-opt.learning_rate * gwin).astype(shard.values.dtype), mode="drop"
-        )
+        values = values_scatter_add(shard.values, vrow, -opt.learning_rate * gwin)
         return shard._replace(values=values)
     if opt.kind == "rowwise_adagrad":
         (accum_plane,) = shard.opt_rowwise
@@ -69,9 +121,7 @@ def apply_sparse_grads_window(
         a_new = a_old + g2
         accum_plane = scatter_add_bucket_plane(accum_plane, slot, g2, enabled)
         scale = opt.learning_rate * jax.lax.rsqrt(a_new + opt.eps)
-        values = shard.values.at[vrow].add(
-            (-scale[:, None] * gwin).astype(shard.values.dtype), mode="drop"
-        )
+        values = values_scatter_add(shard.values, vrow, -scale[:, None] * gwin)
         return shard._replace(values=values, opt_rowwise=(accum_plane,))
     # generic fallback: collapse window rows to [U, dim]
     from meepoembedding_tpu.table.xla_ops import window_extract

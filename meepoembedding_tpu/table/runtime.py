@@ -32,6 +32,35 @@ from meepoembedding_tpu.table.layout import (
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
 def _lookup_train(spec, shard, hi, lo, step):
     uniq = dedup.unique_pairs(hi, lo, size=hi.shape[0])
+    if spec.dim <= 128:  # fused window-space hot path (see xla_ops)
+        shard, ctx = xla_ops.lookup_train(
+            spec, shard, uniq.hi, uniq.lo, uniq.valid, step
+        )
+        # The convenience API guarantees "insert materializes the full row at
+        # lookup" even if apply_grads is never called: write fresh inits now
+        # (train.py/bench fold these into the update scatter instead).
+        vrow = jnp.where(
+            ctx.fresh, jnp.clip(ctx.slot, 0) // spec.pack, shard.values.shape[0]
+        )
+        values = shard.values.at[vrow].add(
+            jnp.where(ctx.fresh[:, None], ctx.g128, 0).astype(shard.values.dtype),
+            mode="drop",
+        )
+        opt_rowwise = shard.opt_rowwise
+        if opt_rowwise:
+            acc0 = jnp.full_like(ctx.sub, spec.optimizer.initial_accumulator, jnp.float32)
+            opt_rowwise = (
+                xla_ops.scatter_add_bucket_plane(
+                    opt_rowwise[0], ctx.slot, acc0, ctx.fresh
+                ),
+            ) + opt_rowwise[1:]
+        shard = shard._replace(values=values, opt_rowwise=opt_rowwise)
+        sub_n = jnp.take(ctx.sub, uniq.inverse)
+        rows = xla_ops.window_extract(spec, ctx.g128[uniq.inverse], sub_n).astype(
+            spec.dtype
+        )
+        miss = uniq.valid & ~ctx.found
+        return shard, rows, ctx, uniq.inverse, (uniq.hi, uniq.lo, miss)
     shard, slot, found = xla_ops.find_or_insert(
         spec, shard, uniq.hi, uniq.lo, uniq.valid, step
     )
@@ -49,13 +78,16 @@ def _lookup_infer(spec, shard, hi, lo):
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-def _apply_grads(spec, shard, slot, inverse, grads):
-    if spec.dim <= 128:  # 128-lane window-space path (see xla_ops)
-        sub_n = jnp.take(jnp.clip(slot, 0) % spec.pack, inverse)
+def _apply_grads(spec, shard, ctx_or_slot, inverse, grads):
+    if spec.dim <= 128:  # window-space path; fresh inits already written in
+        # _lookup_train (convenience-API semantics), so NO ctx init folding
+        ctx = ctx_or_slot
+        sub_n = jnp.take(ctx.sub, inverse)
         g = xla_ops.segment_sum_grads_window(
-            spec, grads, sub_n, inverse, slot.shape[0]
+            spec, grads, sub_n, inverse, ctx.slot.shape[0]
         )
-        return optim.apply_sparse_grads_window(spec, shard, slot, g)
+        return optim.apply_sparse_grads_window(spec, shard, ctx.slot, g)
+    slot = ctx_or_slot
     g = dedup.segment_sum_grads(grads, inverse, num_unique=slot.shape[0])
     return optim.apply_sparse_grads(spec, shard, slot, g)
 

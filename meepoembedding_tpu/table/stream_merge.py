@@ -1,0 +1,300 @@
+"""Pallas stream-merge scatter-add (SURVEY.md C4, L0): the values-plane
+update kernel for big tables.
+
+XLA:TPU scatter is never in-place — it materializes the FULL output plane
+every step (~52 ms at a 4.3 GB table: copy + multi-pass scatter), so update
+cost scales with TABLE size, not batch size. This kernel instead streams only
+the TOUCHED 512-row blocks of the plane through VMEM with double-buffered
+sequential DMAs and merges the (vrow-sorted) updates into each block as ONE
+one-hot matmul on the MXU:
+
+    slab[q] += onehot(uvrow_window - block_base - 128q)^T @ upd_window
+
+In-place via input_output_aliases: untouched blocks are never read or
+written. Duplicate vrows are legal (the one-hot matmul sums them); windows
+that overrun a dense block simply repeat the block id with an advanced
+window start, and consecutive repeats reuse the live slab (no RAW hazard).
+
+Traffic: 2 passes over touched blocks + 1 window pass over updates,
+~bandwidth-bound, independent of total table size.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from meepoembedding_tpu.config import LANES
+
+BLOCKR = 512  # plane rows per block (256 KiB f32 slab)
+MAXU = 32  # update rows per window/grid step (dense blocks repeat)
+_SENT = jnp.int32(2**30)  # uvrow sentinel: matches no block
+
+
+DEPTH = 3  # buffer-ring depth: reads for i+1 overlap compute(i) AND the
+# in-flight write of i-1 (distinct ring slots -> no wait before issuing)
+
+
+def _kernel(bids_ref, starts_ref, vwin_hbm, uwin_hbm, plane_ref, out_ref,
+            slab, vbuf, ubuf, rsem, wsem):
+    """Grid step i processes (block bids[i], updates [starts[i], +MAXU)).
+
+    DEPTH-deep software pipeline over a buffer ring (slot r = i % DEPTH):
+      - step 0 issues its own reads; every step issues step i+1's reads
+        FIRST (into ring slot r+1, whose previous write drained at i-1)
+      - drain the write of step i-(DEPTH-1) so its ring slot is reusable
+      - wait this step's reads, merge via one-hot dot_general on the MXU
+      - write the slab UNLESS bids[i+1] == bids[i] (dense-block windows
+        repeat the block id; the repeat step copies the live slab over and
+        continues accumulating — no intermediate HBM round trip)
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    r = i % DEPTH
+
+    def bid_at(j):
+        return jnp.where((j >= 0) & (j < n), bids_ref[jnp.clip(j, 0, n - 1)], -2)
+
+    def wrote_at(j):  # did step j issue a slab write?
+        return (bid_at(j) >= 0) & (bid_at(j) != bid_at(j + 1))
+
+    # NOTE: ring-slot indices into scratch refs must be PYTHON ints — a
+    # traced leading index on a VMEM scratch ref silently corrupts (and
+    # aborts real TPUs), so every slot-dependent op is unrolled over DEPTH
+    # behind pl.when guards.
+    def for_slot(slot, fn):
+        for s in range(DEPTH):
+            @pl.when(slot == s)
+            def _(s=s):
+                fn(s)
+
+    def slab_read_dma(s: int, b):
+        return pltpu.make_async_copy(
+            plane_ref.at[pl.ds(b * BLOCKR, BLOCKR), :], slab.at[s],
+            rsem.at[s, 0],
+        )
+
+    def slab_write_dma(s: int, b):
+        return pltpu.make_async_copy(
+            slab.at[s], out_ref.at[pl.ds(b * BLOCKR, BLOCKR), :],
+            wsem.at[s],
+        )
+
+    def win_dmas(s: int, st):
+        return (
+            pltpu.make_async_copy(
+                vwin_hbm.at[pl.ds(st, MAXU), :], vbuf.at[s], rsem.at[s, 1]
+            ),
+            pltpu.make_async_copy(
+                uwin_hbm.at[pl.ds(st, MAXU), :], ubuf.at[s], rsem.at[s, 2]
+            ),
+        )
+
+    def issue_reads(j):
+        """Start reads for step j into ring slot j % DEPTH."""
+        bj = bid_at(j)
+        repeat_j = bj == bid_at(j - 1)
+        st = starts_ref[jnp.clip(j, 0, n - 1)]
+
+        def start(s):
+            v, u = win_dmas(s, st)
+            v.start()
+            u.start()
+
+            @pl.when(~repeat_j)
+            def _():
+                slab_read_dma(s, bj).start()
+
+        @pl.when(bj >= 0)
+        def _():
+            for_slot(j % DEPTH, start)
+
+    @pl.when(i == 0)
+    def _():
+        issue_reads(0)
+
+    # make ring slot (i+1) % DEPTH safe: its last write was at step i+1-DEPTH
+    @pl.when(wrote_at(i + 1 - DEPTH))
+    def _():
+        for_slot(
+            (i + 1) % DEPTH,
+            lambda s: slab_write_dma(s, bid_at(i + 1 - DEPTH)).wait(),
+        )
+
+    @pl.when(i + 1 < n)
+    def _():
+        issue_reads(i + 1)
+
+    bid = bids_ref[i]
+    live = bid >= 0
+    is_repeat = bid == bid_at(i - 1)
+    will_repeat = bid == bid_at(i + 1)
+
+    def compute(s: int):
+        v, u = win_dmas(s, starts_ref[i])
+        v.wait()
+        u.wait()
+
+        @pl.when(~is_repeat)
+        def _():
+            slab_read_dma(s, bid).wait()
+
+        @pl.when(is_repeat)
+        def _():
+            # live slab sits in the previous ring slot; carry it over
+            slab[s] = slab[(s - 1) % DEPTH]
+
+        # one-hot matmul merge on the MXU (measured faster than per-update
+        # dynamic-row VMEM RMWs: 47 vs 64 ms at 512K updates / 4.3 GB)
+        uvrow = vbuf[s, :, 0]  # [MAXU] i32 (broadcast-encoded)
+        upd = ubuf[s]  # [MAXU, 128] f32
+        base = bid * BLOCKR
+        for q in range(BLOCKR // LANES):
+            # oh_T [MAXU, 128]: update j hits chunk-row l iff uvrow == row l
+            rows = jax.lax.broadcasted_iota(jnp.int32, (MAXU, LANES), 1)
+            oh = (uvrow[:, None] - (base + q * LANES) == rows).astype(jnp.float32)
+            delta = jax.lax.dot_general(
+                oh, upd, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [128 rows, 128 lanes]
+            slab[s, q * LANES : (q + 1) * LANES, :] = (
+                slab[s, q * LANES : (q + 1) * LANES, :] + delta.astype(slab.dtype)
+            )
+
+        @pl.when(~will_repeat)
+        def _():
+            slab_write_dma(s, bid).start()
+
+    @pl.when(live)
+    def _():
+        for_slot(r, compute)
+
+    # Tail: drain writes of the final DEPTH-1 steps. Step n-DEPTH's write was
+    # already drained by THIS step's regular drain above — waiting a DMA
+    # semaphore twice deadlocks the chip.
+    @pl.when(i == n - 1)
+    def _():
+        for j_off in range(DEPTH - 2, -1, -1):
+            j = i - j_off
+
+            @pl.when(wrote_at(j))
+            def _(j=j):
+                for_slot(j % DEPTH, lambda s: slab_write_dma(s, bid_at(j)).wait())
+
+
+def _plan_windows(uvrow_sorted, m_pad: int, nblocks: int, max_steps: int):
+    """XLA-side planning: touched blocks -> (bids [G], starts [G]) with dense
+    blocks repeated every MAXU updates. G = max_steps (static), padded with
+    bid = -1."""
+    blk = uvrow_sorted // BLOCKR  # [m_pad], sentinel rows -> huge
+    m = uvrow_sorted.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    is_first = jnp.concatenate([jnp.ones((1,), bool), blk[1:] != blk[:-1]])
+    # windows: a new grid step starts at every block boundary AND every MAXU
+    # updates within a block
+    first_of_blk = jnp.where(is_first, idx, 0)
+    first_of_blk = jax.lax.cummax(first_of_blk)
+    is_step = is_first | (((idx - first_of_blk) % MAXU) == 0)
+    is_step &= blk < nblocks  # drop sentinel tail
+    rank = jnp.cumsum(is_step) - 1
+    pos = jnp.where(is_step & (rank < max_steps), rank.astype(jnp.int32), max_steps)
+    bids = jnp.full((max_steps,), -1, jnp.int32).at[pos].set(
+        blk.astype(jnp.int32), mode="drop", unique_indices=True
+    )
+    starts = jnp.zeros((max_steps,), jnp.int32).at[pos].set(
+        idx, mode="drop", unique_indices=True
+    )
+    # clamp starts so windows stay in bounds (padded tail guarantees room)
+    starts = jnp.minimum(starts, m_pad - MAXU)
+    return bids, starts
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def _stream_merge_add(plane, vrow, upd, interpret):
+    R = plane.shape[0]
+    assert R % BLOCKR == 0, f"plane rows {R} must be a multiple of {BLOCKR}"
+    nblocks = R // BLOCKR
+    m = vrow.shape[0]
+    # sort updates by vrow (sentinel rows last); rows follow via one gather
+    key = jnp.where((vrow >= 0) & (vrow < R), vrow, _SENT)
+    skey, order = jax.lax.sort((key, jnp.arange(m, dtype=jnp.int32)), num_keys=1)
+    supd = jnp.take(upd.astype(plane.dtype), order, axis=0)
+    # pad so every window read stays in bounds
+    m_pad = m + MAXU
+    skey = jnp.concatenate([skey, jnp.full((MAXU,), _SENT, jnp.int32)])
+    supd = jnp.concatenate([supd, jnp.zeros((MAXU, LANES), supd.dtype)])
+    vbro = jnp.broadcast_to(skey[:, None], (m_pad, LANES))  # lane-broadcast i32
+
+    max_steps = min(nblocks, m) + -(-m // MAXU)
+    bids, starts = _plan_windows(skey, m_pad, nblocks, max_steps)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(max_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # vbro
+            pl.BlockSpec(memory_space=pltpu.ANY),  # supd
+            pl.BlockSpec(memory_space=pltpu.ANY),  # plane
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((DEPTH, BLOCKR, LANES), plane.dtype),
+            pltpu.VMEM((DEPTH, MAXU, LANES), jnp.int32),
+            pltpu.VMEM((DEPTH, MAXU, LANES), plane.dtype),
+            pltpu.SemaphoreType.DMA((DEPTH, 3)),
+            pltpu.SemaphoreType.DMA((DEPTH,)),
+        ],
+    )
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(plane.shape, plane.dtype),
+        input_output_aliases={4: 0},  # plane (after 2 scalar-prefetch args)
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(bids, starts, vbro, supd, plane)
+
+
+def stream_merge_add(plane, vrow, upd, interpret: bool = None) -> jax.Array:
+    """plane[vrow[j]] += upd[j] for an [R, 128] plane, in place, touching only
+    the blocks that contain updates. Duplicate vrows allowed (summed on the
+    MXU); vrow < 0 or >= R drops the row. Planes smaller than / unaligned to
+    BLOCKR fall back to the XLA scatter (cheap at that size)."""
+    R = plane.shape[0]
+    if R % BLOCKR != 0 or R < 4 * BLOCKR:
+        idx = jnp.where((vrow >= 0) & (vrow < R), vrow, R)
+        return plane.at[idx].add(upd.astype(plane.dtype), mode="drop")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _stream_merge_add(plane, vrow.astype(jnp.int32), upd, interpret)
+
+
+# XLA's scatter materializes the plane into a second buffer, so beyond some
+# size the stream-merge kernel is the only truly in-place update path,
+# enabling values planes LARGER than half of HBM. Measured standalone on
+# v5e: correct (4.8e-7 max err) and 47 ms vs XLA's 41 ms at 4.3 GB / 512K
+# rows; runs fine at 8.6 GB (161 ms for 1M updates) where XLA OOMs.
+# KNOWN LIMIT: composing the kernel INSIDE a larger jit currently fails with
+# a TPU InvalidArgument (input_output_aliases on an operand that has earlier
+# consumers in the same program), so the automatic dispatch is disabled until
+# the hot path donates the plane straight into a standalone kernel call.
+STREAM_THRESHOLD_BYTES = 1 << 62  # effectively: always use the XLA scatter
+
+
+def values_scatter_add(plane, vrow, upd) -> jax.Array:
+    """Dispatch the [R,128] row scatter-add: XLA for small planes,
+    stream-merge (in-place, O(touched blocks)) for big ones. vrow out of
+    [0, R) drops the row."""
+    R = plane.shape[0]
+    if (
+        plane.size * plane.dtype.itemsize >= STREAM_THRESHOLD_BYTES
+        and R % BLOCKR == 0
+    ):
+        return stream_merge_add(plane, vrow, upd)
+    idx = jnp.where((vrow >= 0) & (vrow < R), vrow, R)
+    return plane.at[idx].add(upd.astype(plane.dtype), mode="drop")

@@ -247,14 +247,18 @@ def _expand_row_update(spec: TableSpec, slot, upd):
 
 
 def scatter_add_values(spec: TableSpec, plane, slot, upd, enabled) -> jax.Array:
-    """plane[slot rows] += upd, row-granular (duplicate storage rows OK)."""
+    """plane[slot rows] += upd, row-granular (duplicate storage rows OK).
+    Dispatches to the in-place stream-merge kernel for big planes (XLA's
+    scatter double-buffers the whole plane)."""
+    from meepoembedding_tpu.table.stream_merge import values_scatter_add
+
     vrow, rowupd = _expand_row_update(spec, slot, upd.astype(plane.dtype))
     if spec.dim <= LANES:
         vrow = jnp.where(enabled, vrow, plane.shape[0])
     else:
         en = jnp.repeat(enabled, spec.rows_per_slot)
         vrow = jnp.where(en, vrow, plane.shape[0])
-    return plane.at[vrow].add(rowupd, mode="drop")
+    return values_scatter_add(plane, vrow, rowupd)
 
 
 def scatter_set_values(spec: TableSpec, plane, slot, rows, enabled) -> jax.Array:
@@ -458,6 +462,96 @@ def lookup_rows(spec: TableSpec, shard: TableShard, slot) -> jax.Array:
     """[n] slots -> [n, dim] embedding rows; denied/dropped slots -> zeros."""
     rows = gather_values(spec, shard.values, slot)
     return jnp.where((slot >= 0)[:, None], rows, 0)
+
+
+class LookupCtx(NamedTuple):
+    """Training-lookup context threaded from `lookup_train` to
+    `optim.apply_sparse_grads_window` (SURVEY.md §3.2-3.3 fused hot path)."""
+
+    slot: jax.Array  # i32 [U]; -1 == denied/dropped
+    found: jax.Array  # bool [U] key pre-existed
+    fresh: jax.Array  # bool [U] inserted this step
+    g128: jax.Array  # f32 [U, 128] window-space rows (fresh -> init rows)
+    sub: jax.Array  # i32 [U] window index of each slot
+
+
+def lookup_train(
+    spec: TableSpec, shard: TableShard, uh, ul, valid, step
+) -> Tuple[TableShard, LookupCtx]:
+    """Fused training lookup: probe + admission + insert planning + side-plane
+    writes, WITHOUT touching the values plane. Fresh keys' rows come straight
+    from the deterministic initializer; the values table receives
+    init + optimizer-delta in apply_sparse_grads_window's SINGLE scatter.
+
+    Why: XLA:TPU scatter is never in-place — every scatter materializes its
+    full output plane — so each extra values-plane write costs a whole-table
+    pass (13+ ms at 4 GB). Reading values BEFORE any write also keeps the
+    plane single-use, avoiding a second copy; and with no lax.cond around the
+    insert block there is no conditional pass-through of big planes either
+    (~10 ms of select/mul per step). Side planes ([nb,128]) are small, so
+    their unconditional ADD-scatter passes are cheap."""
+    pr = probe(spec, shard, uh, ul, valid)
+    miss = valid & ~pr.found
+    cms, admit = cms_admit(spec, shard.cms, uh, ul, miss)
+    plan = plan_insert(spec, shard, uh, ul, admit)
+    slot = jnp.where(pr.found, pr.slot, plan.slot)
+    fresh = plan.ok
+
+    # window rows: gather found keys' rows from the PRE-write values plane;
+    # fresh keys take their initializer window (never materialized in HBM)
+    g128, sub = lookup_rows128(spec, shard, slot)
+    init_rows = hashing.default_rows(uh, ul, spec.dim, spec.initializer_scale, spec.dtype)
+    init_win = window_place(spec, init_rows, sub)
+    g128 = jnp.where(fresh[:, None], init_win.astype(g128.dtype), g128)
+
+    # Side-plane writes (exact ADDs over zeroed free slots). Each [nb,128]
+    # scatter materializes its full plane (~6 ms at 2^25 capacity), so the
+    # fresh-only writes sit under a lax.cond that steady-state all-hit steps
+    # skip — the cond carries ONLY the small planes (cheap pass-through),
+    # never the values plane.
+    fresh_i = fresh.astype(jnp.int32)  # bool operands pay packed-layout costs
+
+    def do_fresh_writes(planes):
+        key_hi, key_lo, freq, last = planes
+        fr = fresh_i > 0
+        key_hi = scatter_add_bucket_plane(key_hi, slot, uh - hashing.EMPTY_HI, fr)
+        key_lo = scatter_add_bucket_plane(key_lo, slot, ul - hashing.EMPTY_LO, fr)
+        freq = scatter_add_bucket_plane(freq, slot, jnp.ones_like(uh), fr)
+        last = scatter_add_bucket_plane(last, slot, jnp.full_like(uh, step), fr)
+        return key_hi, key_lo, freq, last
+
+    key_hi, key_lo, freq, last = jax.lax.cond(
+        fresh.any(),
+        do_fresh_writes,
+        lambda planes: planes,
+        (shard.key_hi, shard.key_lo, shard.freq, shard.last),
+    )
+    if spec.policy.needs_scores:
+        # score upkeep touches FOUND keys every step: unconditional
+        touched = fresh | pr.found
+        freq = scatter_add_bucket_plane(freq, slot, jnp.ones_like(uh), touched & ~fresh)
+        last_old = gather_bucket_plane(last, slot)
+        last = scatter_add_bucket_plane(
+            last, slot, jnp.where(fresh, 0, step - last_old), touched
+        )
+
+    n_hit = jnp.sum(pr.found).astype(jnp.int32)
+    n_miss = jnp.sum(miss).astype(jnp.int32)
+    n_ins = jnp.sum(fresh).astype(jnp.int32)
+    n_drop = jnp.sum(admit & ~fresh).astype(jnp.int32)
+    n_denied = jnp.sum(miss & ~admit).astype(jnp.int32)
+    counters = (
+        shard.counters.at[HITS].add(n_hit)
+        .at[MISSES].add(n_miss)
+        .at[INSERTS].add(n_ins)
+        .at[DROPS].add(n_drop)
+        .at[DENIED].add(n_denied)
+    )
+    shard = shard._replace(
+        key_hi=key_hi, key_lo=key_lo, cnt=plan.cnt, ovf=plan.ovf,
+        freq=freq, last=last, counters=counters, cms=cms,
+    )
+    return shard, LookupCtx(slot=slot, found=pr.found, fresh=fresh, g128=g128, sub=sub)
 
 
 # --- 128-lane window-space hot path (dim < 128) -------------------------------

@@ -68,15 +68,14 @@ class Trainer:
             b, s = hi.shape
             cap = self._unique_cap((b, s))
             uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), cap)
-            shard, slot, _found = xla_ops.find_or_insert(
-                spec, shard, uniq.hi, uniq.lo, uniq.valid, step
-            )
             if spec.dim <= 128:
+                shard, ctx = xla_ops.lookup_train(
+                    spec, shard, uniq.hi, uniq.lo, uniq.valid, step
+                )
                 # differentiate w.r.t. the [U, 128] window-space rows: the
                 # backward pass then emits window-space grads directly and
                 # every gather/scatter stays at 128 lanes (xla_ops note)
-                g128, sub = xla_ops.lookup_rows128(spec, shard, slot)
-                sub_n = jnp.take(sub, uniq.inverse)
+                sub_n = jnp.take(ctx.sub, uniq.inverse)
 
                 def loss_fn(params, g128):
                     emb = xla_ops.window_extract(
@@ -87,9 +86,12 @@ class Trainer:
 
                 (loss, logits), (g_dense, g_win) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True
-                )(params, g128)
-                shard = optim.apply_sparse_grads_window(spec, shard, slot, g_win)
+                )(params, ctx.g128)
+                shard = optim.apply_sparse_grads_ctx(spec, shard, ctx, g_win)
             else:
+                shard, slot, _found = xla_ops.find_or_insert(
+                    spec, shard, uniq.hi, uniq.lo, uniq.valid, step
+                )
                 rows_u = xla_ops.lookup_rows(spec, shard, slot)
 
                 def loss_fn(params, rows_u):
