@@ -51,7 +51,8 @@ class RouteCtx(NamedTuple):
     owner: jax.Array  # i32 [U] owning shard of each local unique id
     pos: jax.Array  # i32 [U] position in the owner's send block
     ok: jax.Array  # bool [U] placed within capacity
-    slot: jax.Array  # i32 [S*cap unique] owner-side slots (recv order)
+    lctx: object  # xla_ops.LookupCtx of the owner-side lookup (or slot array
+    # for the dim > 128 path) — threads slot/fresh/window state to the update
     inverse: jax.Array  # i32 [S*cap] owner-side dedup inverse
 
 
@@ -89,15 +90,31 @@ def exchange_lookup(
 
     rhi, rlo = recv_hi.reshape(-1), recv_lo.reshape(-1)
     runiq = dedup.unique_pairs(rhi, rlo, size=rhi.shape[0])
-    if train:
+    if train and spec.dim <= 128:
+        # fused window-space owner-side lookup (xla_ops.lookup_train): rows
+        # stay at 128 lanes through the dedup-inverse expansion; the [.., dim]
+        # view only materializes for the a2a payload (ICI volume stays dim)
+        shard, lctx = xla_ops.lookup_train(
+            spec, shard, runiq.hi, runiq.lo, runiq.valid, step
+        )
+        sub_n = jnp.take(lctx.sub, runiq.inverse)
+        rows = xla_ops.window_extract(
+            spec, lctx.g128[runiq.inverse], sub_n
+        ).astype(spec.dtype).reshape(S, cap, spec.dim)
+    elif train:
         shard, slot, _found = xla_ops.find_or_insert(
             spec, shard, runiq.hi, runiq.lo, runiq.valid, step
         )
+        lctx = slot
+        rows_u = xla_ops.lookup_rows(spec, shard, slot)  # [S*cap, dim]
+        rows = rows_u[runiq.inverse].reshape(S, cap, spec.dim)
     else:
         pr = xla_ops.probe(spec, shard, runiq.hi, runiq.lo, runiq.valid)
         slot = jnp.where(pr.found, pr.slot, -1)
-    rows_u = xla_ops.lookup_rows(spec, shard, slot)  # [S*cap, dim]
-    rows = rows_u[runiq.inverse].reshape(S, cap, spec.dim)
+        lctx = slot
+        rows = xla_ops.lookup_rows_expand(
+            spec, shard, slot, runiq.inverse
+        ).reshape(S, cap, spec.dim)
 
     back = lax.all_to_all(rows, axis, split_axis=0, concat_axis=0)  # [S, cap, dim]
     emb_u = back[jnp.clip(owner, 0, S - 1), jnp.clip(pos, 0, cap - 1)]
@@ -105,7 +122,7 @@ def exchange_lookup(
 
     n_drop = jnp.sum(valid & ~ok).astype(jnp.int32)
     shard = shard._replace(counters=shard.counters.at[ROUTE_DROPS].add(n_drop))
-    return shard, emb_u, RouteCtx(owner=owner, pos=pos, ok=ok, slot=slot, inverse=runiq.inverse)
+    return shard, emb_u, RouteCtx(owner=owner, pos=pos, ok=ok, lctx=lctx, inverse=runiq.inverse)
 
 
 def exchange_apply_grads(
@@ -121,8 +138,17 @@ def exchange_apply_grads(
         .set(g_u.astype(jnp.float32), mode="drop")
     )
     recv_g = lax.all_to_all(send_g, axis, split_axis=0, concat_axis=0).reshape(-1, spec.dim)
-    g_per_key = dedup.segment_sum_grads(recv_g, ctx.inverse, num_unique=ctx.slot.shape[0])
-    return optim.apply_sparse_grads(spec, shard, ctx.slot, g_per_key)
+    if spec.dim <= 128 and not isinstance(ctx.lctx, jax.Array):
+        # window-space owner-side update (see xla_ops hot-path note)
+        lctx = ctx.lctx
+        sub_n = jnp.take(lctx.sub, ctx.inverse)
+        g_win = xla_ops.segment_sum_grads_window(
+            spec, recv_g, sub_n, ctx.inverse, lctx.slot.shape[0]
+        )
+        return optim.apply_sparse_grads_ctx(spec, shard, lctx, g_win)
+    slot = ctx.lctx
+    g_per_key = dedup.segment_sum_grads(recv_g, ctx.inverse, num_unique=slot.shape[0])
+    return optim.apply_sparse_grads(spec, shard, slot, g_per_key)
 
 
 # --- stacked-shard helpers (shard_map passes [1, ...] leaves) ----------------
