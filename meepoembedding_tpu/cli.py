@@ -199,12 +199,25 @@ def cmd_train(args) -> int:
             if args.ckpt_dir:
                 tr.save_checkpoint(args.ckpt_dir)
         else:
-            from meepoembedding_tpu.train import train
+            from meepoembedding_tpu.train import Trainer, train
 
-            tr = train(
-                run_cfg, table_cfg, model_cfg, stream,
-                maintenance_every=args.maintenance_every, spill=spill,
-            )
+            if args.restore:
+                tr = Trainer(run_cfg, table_cfg, model_cfg, spill=spill)
+                tr.load_checkpoint(args.restore)
+                from meepoembedding_tpu.metrics import Meter
+
+                loss_m = Meter()
+                for i, batch in enumerate(stream.batches(run_cfg.steps)):
+                    loss_m.update(tr.train_step(batch)["loss"])
+                    if args.maintenance_every and (i + 1) % args.maintenance_every == 0:
+                        tr.maintenance()
+            else:
+                tr = train(
+                    run_cfg, table_cfg, model_cfg, stream,
+                    maintenance_every=args.maintenance_every, spill=spill,
+                )
+            if args.ckpt_dir:
+                tr.save_checkpoint(args.ckpt_dir)
         print(json.dumps({"final_auc": tr.auc.compute(), "steps": tr.step}))
     finally:
         if prof:
@@ -296,6 +309,59 @@ def cmd_bench_update(args) -> int:
     return _bench_table(args, update=True)
 
 
+def cmd_serve(args) -> int:
+    """Batch scoring from a checkpoint (the serving half of README.md:2's
+    'recommendation, search, CTR and advertising systems'): restore the
+    table + tower, stream batches, emit one JSON line of predictions per
+    batch. Lookups are train=False (no insert-on-miss; unknown ids score
+    with zero embeddings)."""
+    import jax
+
+    run_cfg, table_cfg, model_cfg = load_configs(args.config, args.set)
+    model_cfg = dataclasses.replace(model_cfg, embedding_dim=table_cfg.dim)
+    from meepoembedding_tpu import checkpoint
+    from meepoembedding_tpu.models import build_model
+    from meepoembedding_tpu.table.runtime import DynamicEmbeddingTable
+
+    table = DynamicEmbeddingTable(table_cfg)
+    manifest = table.load(args.ckpt)
+    model = build_model(model_cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    if "params" in manifest.get("dense", []):
+        params = checkpoint.load_dense(args.ckpt, "params", params)
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def score(shard, params, dense, rows):
+        emb = rows.reshape(dense.shape[0], model_cfg.num_sparse_features, table_cfg.dim)
+        return jax.nn.sigmoid(model.apply(params, dense, emb))
+
+    if args.data == "synthetic":
+        from meepoembedding_tpu.data.synthetic import SyntheticConfig, SyntheticStream
+
+        stream = SyntheticStream(SyntheticConfig(
+            batch_size=run_cfg.batch_size,
+            num_sparse=model_cfg.num_sparse_features,
+            num_dense=model_cfg.num_dense_features,
+            seed=run_cfg.seed,
+        ))
+    else:
+        from meepoembedding_tpu.data.criteo import CriteoStream
+
+        stream = CriteoStream(args.data.split(","), batch_size=run_cfg.batch_size)
+
+    for i, batch in enumerate(stream.batches(run_cfg.steps)):
+        rows = table.lookup(batch["ids"].reshape(-1), train=False)
+        p = score(table.shard, params, jnp.asarray(batch["dense"]), rows)
+        print(json.dumps({
+            "batch": i,
+            "mean_score": float(jnp.mean(p)),
+            "scores": np.asarray(p[: args.emit]).round(6).tolist(),
+        }))
+    return 0
+
+
 def cmd_ckpt_inspect(args) -> int:
     from meepoembedding_tpu import checkpoint
 
@@ -344,6 +410,16 @@ def main(argv=None) -> int:
         b.add_argument("--dim", type=int, default=32)
         b.add_argument("--steps", type=int, default=20)
         b.set_defaults(fn=fn)
+
+    sv = sub.add_parser("serve", help="batch scoring from a checkpoint (no inserts)")
+    sv.add_argument("--ckpt", required=True, help="checkpoint directory to restore")
+    sv.add_argument("--config", help="YAML config file")
+    sv.add_argument("--set", nargs="*", default=[], metavar="sec.key=val")
+    sv.add_argument("--data", default="synthetic",
+                    help="'synthetic' or comma-separated Criteo TSV paths")
+    sv.add_argument("--emit", type=int, default=8,
+                    help="scores per batch to include in the JSON output")
+    sv.set_defaults(fn=cmd_serve)
 
     c = sub.add_parser("ckpt-inspect", help="print checkpoint manifest + stats")
     c.add_argument("path")

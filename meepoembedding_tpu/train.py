@@ -153,6 +153,26 @@ class Trainer:
         )
         return {"loss": float(loss), "logits": logits}
 
+    # --- checkpoint/restore (SURVEY.md C19) ----------------------------------
+    def save_checkpoint(self, path: str, extras=None) -> dict:
+        from meepoembedding_tpu import checkpoint
+
+        return checkpoint.save(
+            path, self.spec, [self.shard], self.step, extras=extras,
+            dense={"params": self.params, "opt_state": self.opt_state},
+        )
+
+    def load_checkpoint(self, path: str) -> dict:
+        from meepoembedding_tpu import checkpoint
+
+        shards, manifest = checkpoint.restore_shards(self.spec, path, 1)
+        self.shard = shards[0]
+        if "params" in manifest.get("dense", []):
+            self.params = checkpoint.load_dense(path, "params", self.params)
+            self.opt_state = checkpoint.load_dense(path, "opt_state", self.opt_state)
+        self.step = manifest["step"]
+        return manifest
+
     def maintenance(self) -> dict:
         """Eviction/spill tick (SURVEY.md §3.4), off the step critical path.
         Spilled payloads carry the full row state (value+freq+optimizer)."""

@@ -64,6 +64,36 @@ def test_unknown_field_raises():
         load_configs(None, ["bogus.x=1"])
 
 
+def test_train_ckpt_serve_cli(tmp_path):
+    """L7 end-to-end: single-device train writes a checkpoint; `serve`
+    restores it and emits batch scores (no inserts)."""
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    common = [
+        "--set", "run.steps=6", "run.batch_size=64", "table.capacity=4096",
+        "table.dim=8", "model.kind=ctr_mlp", "model.num_sparse_features=3",
+        "model.top_mlp=16,1",
+    ]
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "train", "--data", "synthetic",
+         "--ckpt-dir", str(tmp_path / "ck"), *common],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert (tmp_path / "ck" / "manifest.json").exists()
+
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "serve",
+         "--ckpt", str(tmp_path / "ck"), "--data", "synthetic", "--emit", "2",
+         *common],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert len(lines) == 6
+    assert all(0.0 <= l["mean_score"] <= 1.0 for l in lines)
+    assert len(lines[0]["scores"]) == 2
+
+
 def test_ckpt_inspect_cli(tmp_path):
     """End-to-end: build a tiny checkpoint, inspect via the CLI subprocess."""
     from meepoembedding_tpu.config import TableConfig
