@@ -274,16 +274,19 @@ def stream_merge_add(plane, vrow, upd, interpret: bool = None) -> jax.Array:
     return _stream_merge_add(plane, vrow.astype(jnp.int32), upd, interpret)
 
 
-# XLA's scatter materializes the plane into a second buffer, so beyond some
+# XLA's scatter materializes the plane into a second buffer, so beyond this
 # size the stream-merge kernel is the only truly in-place update path,
-# enabling values planes LARGER than half of HBM. Measured standalone on
-# v5e: correct (4.8e-7 max err) and 47 ms vs XLA's 41 ms at 4.3 GB / 512K
-# rows; runs fine at 8.6 GB (161 ms for 1M updates) where XLA OOMs.
-# KNOWN LIMIT: composing the kernel INSIDE a larger jit currently fails with
-# a TPU InvalidArgument (input_output_aliases on an operand that has earlier
-# consumers in the same program), so the automatic dispatch is disabled until
-# the hot path donates the plane straight into a standalone kernel call.
-STREAM_THRESHOLD_BYTES = 1 << 62  # effectively: always use the XLA scatter
+# enabling values planes LARGER than half of HBM (the 100M-row dim-32 config
+# needs 12.8 GB of a 16 GB chip). Measured standalone on v5e: correct
+# (4.8e-7 max err); 47 ms vs XLA's 41 ms at 4.3 GB / 512K rows; runs at
+# 8.6 GB (161 ms / 1M updates) where XLA's double-buffering OOMs; composes
+# fine inside jits with gathers before/after at those shapes, and powers
+# prefill/insert of a 67M-row table. The threshold keeps XLA below
+# (slightly faster there) and the kernel above (where XLA cannot run).
+# OPEN ISSUE: the FULL 67M-row train_cycle still dies with a TPU
+# InvalidArgument even though every isolated piece passes — suspect
+# transient-memory interplay; tracked for the next round.
+STREAM_THRESHOLD_BYTES = 6 << 30
 
 
 def values_scatter_add(plane, vrow, upd) -> jax.Array:
