@@ -103,9 +103,15 @@ def main():
         cold = rng.integers(0, n_live, size=batch - len(hot))
         return np.concatenate([hot, cold]) * key_mult
 
+    # dedup capacity (static): defaults to the full batch (this stream is only
+    # ~6% duplicated, so undersizing would overflow — the run verifies
+    # uniq.count < ucap below). Streams with heavier reuse can set
+    # MEEPO_BENCH_UCAP to shrink every U-sized op in the step.
+    ucap = int(os.environ.get("MEEPO_BENCH_UCAP", batch))
+
     @partial(jax.jit, donate_argnums=(0,))
     def train_cycle(shard, hi, lo, grad_seed, step):
-        uniq = dedup.unique_pairs(hi, lo, hi.shape[0])
+        uniq = dedup.unique_pairs(hi, lo, ucap)
         if spec.dim <= 128:
             # fused 128-lane window-space path: lookup_train leaves the
             # values plane untouched (fresh inits fold into the ONE update
@@ -113,11 +119,10 @@ def main():
             shard, ctx = xla_ops.lookup_train(
                 spec, shard, uniq.hi, uniq.lo, uniq.valid, step
             )
-            sub_n = jnp.take(ctx.sub, uniq.inverse)
-            out = xla_ops.window_extract(spec, ctx.g128[uniq.inverse], sub_n)
+            out = xla_ops.rows_for_batch(spec, ctx.g128, ctx.sub, uniq.inverse)
             g = out * 1e-3 + grad_seed  # synthetic model grads at [n, dim]
-            g_u = xla_ops.segment_sum_grads_window(
-                spec, g, sub_n, uniq.inverse, uniq.hi.shape[0]
+            g_u = xla_ops.grads_to_window(
+                spec, g, ctx.sub, uniq.inverse, ucap
             )
             shard = optim.apply_sparse_grads_ctx(spec, shard, ctx, g_u)
         else:
@@ -127,17 +132,22 @@ def main():
             rows = xla_ops.lookup_rows(spec, shard, slot)
             out = rows[uniq.inverse]
             g = out * 1e-3 + grad_seed
-            g_u = dedup.segment_sum_grads(g, uniq.inverse, uniq.hi.shape[0])
+            g_u = dedup.segment_sum_grads(g, uniq.inverse, ucap)
             shard = optim.apply_sparse_grads(spec, shard, slot, g_u)
-        return shard, jnp.sum(out)
+        return shard, jnp.sum(out), uniq.count
 
     # warmup/compile
     ids = stream_batch()
     hi, lo = hashing.split_ids(ids)
     hi, lo = jnp.asarray(hi), jnp.asarray(lo)
     gseed = jnp.float32(1e-4)
-    shard, s0 = train_cycle(shard, hi, lo, gseed, jnp.int32(1))
+    shard, s0, ucount = train_cycle(shard, hi, lo, gseed, jnp.int32(1))
     jax.block_until_ready(s0)
+    assert ucap >= batch or int(ucount) < ucap, (
+        f"dedup capacity overflow: {int(ucount)} uniques >= ucap {ucap}; "
+        f"raise MEEPO_BENCH_UCAP"
+    )
+    log(f"uniques/step ~{int(ucount)} (ucap {ucap})")
 
     batches = [hashing.split_ids(stream_batch()) for _ in range(steps)]
     batches = [
@@ -154,8 +164,9 @@ def main():
         t0 = time.perf_counter()
         accs = []
         for i, (h, l) in enumerate(batches):
-            shard, acc = train_cycle(shard, h, l, gseed, jnp.int32(2 + i))
+            shard, acc, ucnt = train_cycle(shard, h, l, gseed, jnp.int32(2 + i))
             accs.append(acc)
+            last_ucnt = ucnt
             # cap dispatch depth: overlapping transients of many in-flight
             # steps exhaust HBM on big tables (sync depth via env, default 2)
             d = int(os.environ.get("MEEPO_BENCH_DEPTH", 2))
@@ -164,6 +175,9 @@ def main():
         jax.block_until_ready(accs[-1])
         windows.append((time.perf_counter() - t0) / steps)
     dt = min(windows)
+    assert ucap >= batch or int(last_ucnt) < ucap, (
+        f"dedup capacity overflow during timing: {int(last_ucnt)} >= {ucap}"
+    )
     ids_per_sec = batch / dt
     log(f"dynamic: {ids_per_sec/1e6:.2f}M ids/s (best {dt*1e3:.2f} ms/step, "
         f"windows {[f'{w*1e3:.1f}' for w in windows]})")

@@ -52,7 +52,7 @@ class DiskKVStore:
         n_full = len(data) // self._rec
         for i in range(n_full):
             key = struct.unpack_from("<q", data, pos)[0]
-            if key == -(2**63) + 1:  # erase marker
+            if key == _EMPTY:  # erase marker: INT64_MIN is never a user key
                 real = struct.unpack_from("<q", data, pos + 8)[0]
                 self._index.pop(real, None)
             else:
@@ -105,8 +105,11 @@ class DiskKVStore:
             for i, key in enumerate(k):
                 if self._index.pop(int(key), None) is not None:
                     found[i] = True
-                    # erase marker record: sentinel+1 key, payload = real key
-                    buf += struct.pack("<qq", -(2**63) + 1, int(key)) + pad
+                    # erase marker record: the INT64_MIN sentinel (the one key
+                    # insert_batch never writes — ADVICE r1: a "+1" magic key
+                    # collided with legal user key INT64_MIN+1), payload =
+                    # the erased key
+                    buf += struct.pack("<qq", int(_EMPTY), int(key)) + pad
             if buf:
                 self._f.write(bytes(buf))
         return found

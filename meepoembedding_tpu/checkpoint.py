@@ -9,11 +9,18 @@ checkpoint written with N shards loads onto M devices (elastic reshard).
 Layout of a checkpoint directory:
 
   manifest.json       {"format", "num_shards", "dim", "capacity", "step",
-                       "value_dtype", "optimizer", "counts", "extras"}
-  shard-00000.npz     ids i64[n], values f32[n,dim], freq i32[n], last i32[n],
+                       "value_dtype", "optimizer", "counts", "dir", "extras"}
+  step-N[.k]/         one GENERATION directory per save; the manifest's "dir"
+    shard-00000.npz   ids i64[n], values f32[n,dim], freq i32[n], last i32[n],
                       accum f32[n] (rowwise slot), full0.. f32[n,dim] (fulldim
                       slots: adagrad accumulator / adam moments)
-  dense-*.npz         optional dense pytrees (tower params, optimizer state)
+    dense-*.npz       optional dense pytrees (tower params, optimizer state)
+
+Every save writes into a FRESH generation directory and commits by writing
+the manifest (atomic rename) last — a crash mid-save leaves the previous
+manifest pointing at its own untouched generation (ADVICE r1: in-place
+shard overwrites corrupted the prior checkpoint during periodic saves).
+Stale generations are pruned by the coordinator after commit.
 
 Restore is bit-stable regardless of shard count because row placement inside
 a shard is a pure function of the key (table/hashing.py) and row payloads are
@@ -99,6 +106,42 @@ def _atomic_write(path: str, write_fn):
         raise
 
 
+def _gen_name(path: str, step: int) -> str:
+    """Deterministic fresh generation-dir name for this save. Never reuses the
+    name the committed manifest references (same-step re-saves get a .k
+    suffix), so the in-flight save can't clobber the live checkpoint. Pure
+    function of (manifest, step): every process picks the same name."""
+    base = f"step-{int(step)}"
+    try:
+        cur = read_manifest(path).get("dir", "")
+    except (FileNotFoundError, json.JSONDecodeError):
+        return base
+    if cur == base:
+        return base + ".1"
+    if cur.startswith(base + "."):
+        try:
+            return f"{base}.{int(cur.rsplit('.', 1)[1]) + 1}"
+        except ValueError:
+            return base + ".1"
+    return base
+
+
+def _data_dir(path: str, manifest: dict) -> str:
+    """Directory holding the manifest's shard/dense files ("" = legacy root)."""
+    return os.path.join(path, manifest.get("dir", ""))
+
+
+def _prune_generations(path: str, keep: str) -> None:
+    """Remove stale step-* generation dirs (crashed or superseded saves)."""
+    import shutil
+
+    for name in os.listdir(path):
+        if name.startswith("step-") and name != keep:
+            full = os.path.join(path, name)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+
+
 def save(
     path: str,
     spec: TableSpec,
@@ -132,10 +175,13 @@ def save_sharded(
     checkpoint: all files land via rename, manifest last). `dense` pytrees
     are replicated, so only the coordinator writes them."""
     os.makedirs(path, exist_ok=True)
+    gen = _gen_name(path, step)
+    gdir = os.path.join(path, gen)
+    os.makedirs(gdir, exist_ok=True)
     for i, shard in shards_by_id.items():
         arrs = export_shard_arrays(spec, shard)
         _atomic_write(
-            os.path.join(path, f"shard-{i:05d}.npz"),
+            os.path.join(gdir, f"shard-{i:05d}.npz"),
             lambda f, arrs=arrs: np.savez(f, **arrs),
         )
     dense = dense or {}
@@ -144,14 +190,14 @@ def save_sharded(
             leaves, _ = jax.tree_util.tree_flatten(tree)
             flat = {f"leaf{j}": np.asarray(x) for j, x in enumerate(leaves)}
             _atomic_write(
-                os.path.join(path, f"dense-{name}.npz"),
+                os.path.join(gdir, f"dense-{name}.npz"),
                 lambda f, flat=flat: np.savez(f, **flat),
             )
     barrier("ckpt-shards-written")
     if is_coordinator:
         counts = []
         for i in range(num_shards):
-            with np.load(os.path.join(path, f"shard-{i:05d}.npz")) as z:
+            with np.load(os.path.join(gdir, f"shard-{i:05d}.npz")) as z:
                 counts.append(int(z["ids"].shape[0]))
         manifest = {
             "format": FORMAT_VERSION,
@@ -166,6 +212,7 @@ def save_sharded(
                 "fulldim_slots": spec.optimizer.num_fulldim_slots(),
             },
             "counts": counts,
+            "dir": gen,
             "dense": sorted(dense),
             "extras": extras or {},
         }
@@ -174,6 +221,9 @@ def save_sharded(
             lambda f: f.write(json.dumps(manifest, indent=1).encode()),
         )
     barrier("ckpt-manifest-committed")
+    if is_coordinator:
+        _prune_generations(path, keep=gen)
+    barrier("ckpt-pruned")
     if not is_coordinator:
         manifest = read_manifest(path)
     return manifest
@@ -191,15 +241,17 @@ def read_manifest(path: str) -> dict:
 def iter_rows(path: str) -> Iterator[dict]:
     """Stream the checkpoint's shard files one at a time (bounded memory)."""
     m = read_manifest(path)
+    d = _data_dir(path, m)
     for i in range(m["num_shards"]):
-        with np.load(os.path.join(path, f"shard-{i:05d}.npz")) as z:
+        with np.load(os.path.join(d, f"shard-{i:05d}.npz")) as z:
             yield {k: z[k] for k in z.files}
 
 
 def load_dense(path: str, name: str, template):
     """Restore a dense pytree saved under `name`, shaped like `template`."""
     leaves, treedef = jax.tree_util.tree_flatten(template)
-    with np.load(os.path.join(path, f"dense-{name}.npz")) as z:
+    d = _data_dir(path, read_manifest(path))
+    with np.load(os.path.join(d, f"dense-{name}.npz")) as z:
         assert len(z.files) == len(leaves), (
             f"dense '{name}': {len(z.files)} leaves in file, template has {len(leaves)}"
         )

@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 from typing import Optional
@@ -144,25 +145,36 @@ def _make_spill(args, table_cfg):
 
 # --- subcommands ----------------------------------------------------------------
 
+def make_train_stream(data: str, run_cfg, model_cfg, host_id: int, num_hosts: int):
+    """Multi-host data sharding (SURVEY.md C17): each process reads a DISJOINT
+    slice of the input. For Criteo this is line-level host sharding; the
+    synthetic stream decorrelates by seed. Single-process runs are
+    unaffected (host 0 of 1)."""
+    if data == "synthetic":
+        from meepoembedding_tpu.data.synthetic import SyntheticConfig, SyntheticStream
+
+        return SyntheticStream(SyntheticConfig(
+            batch_size=run_cfg.batch_size,
+            num_sparse=model_cfg.num_sparse_features,
+            num_dense=model_cfg.num_dense_features,
+            seed=run_cfg.seed + host_id,
+        ))
+    from meepoembedding_tpu.data.criteo import CriteoStream
+
+    return CriteoStream(
+        data.split(","), batch_size=run_cfg.batch_size, loop=True,
+        host_id=host_id, num_hosts=num_hosts,
+    )
+
+
 def cmd_train(args) -> int:
     import jax
 
     run_cfg, table_cfg, model_cfg = load_configs(args.config, args.set)
     model_cfg = dataclasses.replace(model_cfg, embedding_dim=table_cfg.dim)
-
-    if args.data == "synthetic":
-        from meepoembedding_tpu.data.synthetic import SyntheticConfig, SyntheticStream
-
-        stream = SyntheticStream(SyntheticConfig(
-            batch_size=run_cfg.batch_size,
-            num_sparse=model_cfg.num_sparse_features,
-            num_dense=model_cfg.num_dense_features,
-            seed=run_cfg.seed,
-        ))
-    else:
-        from meepoembedding_tpu.data.criteo import CriteoStream
-
-        stream = CriteoStream(args.data.split(","), batch_size=run_cfg.batch_size, loop=True)
+    stream = make_train_stream(
+        args.data, run_cfg, model_cfg, jax.process_index(), jax.process_count()
+    )
 
     spill = _make_spill(args, table_cfg)
     prof = None

@@ -134,3 +134,10 @@ class RunConfig:
     dense_learning_rate: float = 1e-3
     mesh_shape: Tuple[int, ...] = ()  # () -> all devices on one 'shard' axis
     profile_dir: Optional[str] = None
+    # Static per-(src,dst) all-to-all capacity = a2a_factor * unique_cap / S.
+    # Owner routing is a murmur-mixed hash, so per-destination counts are
+    # binomial(U, 1/S): 1.25x the mean is already tens of sigma of headroom.
+    # The sharded trainer COUNTS any overflow (route_drops) and auto-doubles
+    # the factor (recompiling the step) if a drop is ever observed, so the
+    # exchange is drop-free in steady state without lossless S-times buffers.
+    a2a_factor: float = 1.25

@@ -83,7 +83,11 @@ def apply_sparse_grads_ctx(
     # accumulators get their init here so the generic math sees it.
     from meepoembedding_tpu.table.xla_ops import scatter_add_values, window_extract
 
-    values = scatter_add_values(spec, shard.values, slot, ctx.g128, fresh)
+    # collapse the [U,128] window rows to [U,dim] before the row scatter —
+    # scatter_add_values expects row-space updates (ADVICE r1: passing g128
+    # directly broke the window-placement matmul for dim < 128)
+    init_rows = window_extract(spec, ctx.g128, ctx.sub)
+    values = scatter_add_values(spec, shard.values, slot, init_rows, fresh)
     shard = shard._replace(values=values)
     if shard.opt_rowwise:
         acc0 = jnp.full_like(ctx.sub, opt.initial_accumulator, jnp.float32)

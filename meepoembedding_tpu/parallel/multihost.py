@@ -63,6 +63,15 @@ def all_processes_sum(x: float) -> float:
     return float(multihost_utils.process_allgather(np.float64(x)).sum())
 
 
+def all_processes_max(x: float) -> float:
+    """Max of a host-side python scalar across processes (round agreement)."""
+    if not is_multiprocess():
+        return float(x)
+    from jax.experimental import multihost_utils
+
+    return float(multihost_utils.process_allgather(np.float64(x)).max())
+
+
 def barrier(name: str = "barrier") -> None:
     if is_multiprocess():
         from jax.experimental import multihost_utils

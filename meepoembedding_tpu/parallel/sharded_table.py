@@ -38,8 +38,12 @@ from meepoembedding_tpu.table.xla_ops import _segmented_rank
 ROUTE_DROPS = 8  # counters index (extends layout counter names)
 
 
-def a2a_capacity(unique_cap: int, num_shards: int, factor: float = 2.0) -> int:
-    """Static per-(src,dst) buffer size. factor >= num_shards is lossless."""
+def a2a_capacity(unique_cap: int, num_shards: int, factor: float = 1.25) -> int:
+    """Static per-(src,dst) buffer size. factor >= num_shards is lossless.
+    Owner routing is a murmur-mixed hash, so per-destination counts are
+    binomial(U, 1/S) — factor 1.25 is tens of sigma of headroom at real
+    batch sizes; overflow is counted (ROUTE_DROPS) and the trainer
+    auto-doubles the factor if it ever fires."""
     if num_shards == 1:
         return unique_cap
     cap = int(factor * unique_cap / num_shards)
@@ -54,6 +58,11 @@ class RouteCtx(NamedTuple):
     lctx: object  # xla_ops.LookupCtx of the owner-side lookup (or slot array
     # for the dim > 128 path) — threads slot/fresh/window state to the update
     inverse: jax.Array  # i32 [S*cap] owner-side dedup inverse
+    # owner-side miss info (for async cold-tier promotion, SURVEY.md §3.4):
+    # the ids THIS shard received and did not already hold
+    miss_hi: jax.Array  # i32 [S*cap]
+    miss_lo: jax.Array  # i32 [S*cap]
+    miss: jax.Array  # bool [S*cap]
 
 
 def _route(uh, ul, valid, num_shards: int, cap: int):
@@ -97,12 +106,12 @@ def exchange_lookup(
         shard, lctx = xla_ops.lookup_train(
             spec, shard, runiq.hi, runiq.lo, runiq.valid, step
         )
-        sub_n = jnp.take(lctx.sub, runiq.inverse)
-        rows = xla_ops.window_extract(
-            spec, lctx.g128[runiq.inverse], sub_n
+        found = lctx.found
+        rows = xla_ops.rows_for_batch(
+            spec, lctx.g128, lctx.sub, runiq.inverse
         ).astype(spec.dtype).reshape(S, cap, spec.dim)
     elif train:
-        shard, slot, _found = xla_ops.find_or_insert(
+        shard, slot, found = xla_ops.find_or_insert(
             spec, shard, runiq.hi, runiq.lo, runiq.valid, step
         )
         lctx = slot
@@ -111,6 +120,7 @@ def exchange_lookup(
     else:
         pr = xla_ops.probe(spec, shard, runiq.hi, runiq.lo, runiq.valid)
         slot = jnp.where(pr.found, pr.slot, -1)
+        found = pr.found
         lctx = slot
         rows = xla_ops.lookup_rows_expand(
             spec, shard, slot, runiq.inverse
@@ -122,7 +132,10 @@ def exchange_lookup(
 
     n_drop = jnp.sum(valid & ~ok).astype(jnp.int32)
     shard = shard._replace(counters=shard.counters.at[ROUTE_DROPS].add(n_drop))
-    return shard, emb_u, RouteCtx(owner=owner, pos=pos, ok=ok, lctx=lctx, inverse=runiq.inverse)
+    return shard, emb_u, RouteCtx(
+        owner=owner, pos=pos, ok=ok, lctx=lctx, inverse=runiq.inverse,
+        miss_hi=runiq.hi, miss_lo=runiq.lo, miss=runiq.valid & ~found,
+    )
 
 
 def exchange_apply_grads(
@@ -141,9 +154,8 @@ def exchange_apply_grads(
     if spec.dim <= 128 and not isinstance(ctx.lctx, jax.Array):
         # window-space owner-side update (see xla_ops hot-path note)
         lctx = ctx.lctx
-        sub_n = jnp.take(lctx.sub, ctx.inverse)
-        g_win = xla_ops.segment_sum_grads_window(
-            spec, recv_g, sub_n, ctx.inverse, lctx.slot.shape[0]
+        g_win = xla_ops.grads_to_window(
+            spec, recv_g, lctx.sub, ctx.inverse, lctx.slot.shape[0]
         )
         return optim.apply_sparse_grads_ctx(spec, shard, lctx, g_win)
     slot = ctx.lctx

@@ -89,9 +89,11 @@ def stacked_from_shards(shards_by_id: dict, mesh, template_stacked):
 
 
 def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap: int,
-                      a2a_factor: float = 2.0):
+                      a2a_factor: float = 1.25):
     """Build the jitted sharded train step. Batch arrays carry the GLOBAL
-    batch on axis 0 (sharded over `d`); table state is stacked [S, ...]."""
+    batch on axis 0 (sharded over `d`); table state is stacked [S, ...].
+    Also returns this step's global route_drops count so the trainer can
+    auto-resize the exchange capacity if the hash balance is ever exceeded."""
     S = mesh.shape[SHARD_AXIS]
     cap = st.a2a_capacity(unique_cap, S, a2a_factor)
 
@@ -99,9 +101,13 @@ def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap:
         shard = st.squeeze_shard(stacked)
         b, s = hi.shape
         uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), unique_cap)
+        drops0 = shard.counters[st.ROUTE_DROPS]
         shard, emb_u, ctx = st.exchange_lookup(
             spec, shard, uniq.hi, uniq.lo, uniq.valid, step, SHARD_AXIS, cap, train=True
         )
+        drops = lax.psum(shard.counters[st.ROUTE_DROPS] - drops0, SHARD_AXIS)
+        # owner-side miss info, per shard (async cold-tier promotion feed)
+        miss_out = tuple(a[None] for a in (ctx.miss_hi, ctx.miss_lo, ctx.miss))
 
         def loss_fn(params, emb_u):
             emb = emb_u[uniq.inverse].reshape(b, s, spec.dim)
@@ -117,20 +123,20 @@ def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap:
         g_dense = lax.psum(g_dense, SHARD_AXIS)
         params, opt_state = optim.dense_adam_update(params, g_dense, opt_state, dense_lr)
         loss = lax.psum(loss, SHARD_AXIS)
-        return st.unsqueeze_shard(shard), params, opt_state, loss, logits
+        return st.unsqueeze_shard(shard), params, opt_state, loss, logits, drops, miss_out
 
     shard_specs = P(SHARD_AXIS)
     fn = jax.shard_map(
         step_impl,
         mesh=mesh,
         in_specs=(shard_specs, P(), P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P()),
-        out_specs=(shard_specs, P(), P(), P(), P(SHARD_AXIS)),
+        out_specs=(shard_specs, P(), P(), P(), P(SHARD_AXIS), P(), P(SHARD_AXIS)),
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(0,))
 
 
-def make_sharded_eval(spec: TableSpec, model, mesh, unique_cap: int, a2a_factor: float = 2.0):
+def make_sharded_eval(spec: TableSpec, model, mesh, unique_cap: int, a2a_factor: float = 1.25):
     S = mesh.shape[SHARD_AXIS]
     cap = st.a2a_capacity(unique_cap, S, a2a_factor)
 
@@ -155,6 +161,37 @@ def make_sharded_eval(spec: TableSpec, model, mesh, unique_cap: int, a2a_factor:
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def make_promote_insert(spec: TableSpec, mesh, chunk: int):
+    """Jitted per-shard bulk insert of promoted rows (SURVEY.md §3.4 reverse
+    path, sharded): each device receives ITS OWN [chunk]-padded promotion
+    batch (ids were observed as misses on that very shard, and owner routing
+    is a pure hash, so the batch is owner-correct by construction)."""
+    from meepoembedding_tpu.table.layout import PROMOTES
+
+    def impl(stacked, hi, lo, rows, valid, freq, accum, fulldim, step):
+        shard = st.squeeze_shard(stacked)
+        shard, ok = xla_ops.insert_rows(
+            spec, shard, hi[0], lo[0], rows[0], valid[0], step,
+            freq=freq[0],
+            accum=accum[0] if spec.optimizer.num_rowwise_slots() else None,
+            fulldim=tuple(f[0] for f in fulldim) if fulldim else None,
+        )
+        shard = shard._replace(
+            counters=shard.counters.at[PROMOTES].add(jnp.sum(ok).astype(jnp.int32))
+        )
+        return st.unsqueeze_shard(shard)
+
+    sp = P(SHARD_AXIS)
+    fn = jax.shard_map(
+        impl,
+        mesh=mesh,
+        in_specs=(sp, sp, sp, sp, sp, sp, sp, sp, P()),
+        out_specs=sp,
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))
 
 
 def alloc_stacked_shards(spec: TableSpec, mesh) -> "TableShard":
@@ -196,13 +233,32 @@ class ShardedTrainer:
         self.opt_state = jax.device_put(optim.dense_adam_init(self.params), rep)
         self.step = 0
         self.spill = spill
+        self._codec = None
+        self._promoter = None
+        self._promote_fn = None
+        self._promote_chunk = 1024
+        if spill is not None:
+            from meepoembedding_tpu.tiering import PromotionEngine, SpillCodec
+
+            self._codec = SpillCodec(self.spec)
+            assert spill.width == self._codec.width, (
+                f"spill backend width {spill.width} != codec width {self._codec.width}"
+            )
+            self._promoter = PromotionEngine(self._codec, spill)
         self.auc = StreamingAUC()
         per_dev_ids = run_cfg.batch_size // self.S * model_cfg.num_sparse_features
         self.unique_cap = run_cfg.unique_cap or per_dev_ids
+        self.a2a_factor = run_cfg.a2a_factor
+        self._build_step_fns()
+
+    def _build_step_fns(self):
         self._step_fn = make_sharded_step(
-            self.spec, self.model, self.mesh, run_cfg.dense_learning_rate, self.unique_cap
+            self.spec, self.model, self.mesh, self.run_cfg.dense_learning_rate,
+            self.unique_cap, self.a2a_factor,
         )
-        self._eval_fn = make_sharded_eval(self.spec, self.model, self.mesh, self.unique_cap)
+        self._eval_fn = make_sharded_eval(
+            self.spec, self.model, self.mesh, self.unique_cap, self.a2a_factor
+        )
 
     def _device_batch(self, batch):
         """Per-process batch arrays -> global sharded arrays. In multi-process
@@ -219,10 +275,30 @@ class ShardedTrainer:
 
     def train_step(self, batch: dict) -> dict:
         dense, hi, lo, label = self._device_batch(batch)
-        self.stacked, self.params, self.opt_state, loss, logits = self._step_fn(
+        (
+            self.stacked, self.params, self.opt_state, loss, logits, drops,
+            miss_out,
+        ) = self._step_fn(
             self.stacked, self.params, self.opt_state, dense, hi, lo, label,
             jnp.int32(self.step),
         )
+        if self._promoter is not None:
+            # feed THIS process's shards' misses; the worker thread fetches
+            # and queries the cold tier off the step critical path
+            mh, ml, mm = miss_out
+            for shh, shl, shm in zip(
+                mh.addressable_shards, ml.addressable_shards, mm.addressable_shards
+            ):
+                self._promoter.feed(shh.data[0], shl.data[0], shm.data[0])
+        if int(drops):
+            # Exchange capacity exceeded (astronomically unlikely under the
+            # binomial hash balance, but possible for adversarial key sets):
+            # the dropped ids trained from zero rows THIS step; double the
+            # factor so it cannot recur, rebuilding (recompiling) the step.
+            old = self.a2a_factor
+            self.a2a_factor = min(self.a2a_factor * 2.0, float(self.S))
+            if self.a2a_factor != old:
+                self._build_step_fns()
         self.step += 1
         # AUC over this process's slice of the batch (exact in single-process;
         # per-host streaming estimate in multi-process, aggregated at compute).
@@ -239,9 +315,115 @@ class ShardedTrainer:
         loss, logits = self._eval_fn(self.stacked, self.params, dense, hi, lo, label)
         return {"loss": float(loss), "logits": logits}
 
+    def _stacked_batch(self, per_shard_fn, shape_tail, dtype):
+        """Per-shard host arrays -> one global [S, ...] array sharded over the
+        mesh (multi-process safe: each process contributes only its shards)."""
+        sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
+        gshape = (self.S,) + tuple(shape_tail)
+        dev_map = sharding.addressable_devices_indices_map(gshape)
+        singles = []
+        for dev, idx in dev_map.items():
+            i = idx[0].start
+            i = 0 if i is None else int(i)
+            singles.append(
+                jax.device_put(np.asarray(per_shard_fn(i), dtype)[None], dev)
+            )
+        return jax.make_array_from_single_device_arrays(gshape, sharding, singles)
+
+    def _apply_promotions(self) -> int:
+        """Drain staged cold->hot promotions into their owner shards
+        (SURVEY.md §3.4 reverse path). Runs at maintenance cadence, so
+        promotion latency is the maintenance interval. Multi-process safe:
+        every process executes the same number of insert rounds (agreed via
+        all_processes_max), with empty padded batches where it has nothing."""
+        if self._promoter is None:
+            return 0
+        out = self._promoter.drain()
+        keys, state = out if out is not None else (np.zeros((0,), np.int64), None)
+        S, chunk, dim = self.S, self._promote_chunk, self.spec.dim
+        per = {s: np.zeros((0,), np.int64) for s in range(S)}
+        if len(keys):
+            hi_np, lo_np = hashing.split_ids(keys)
+            owner = np.asarray(
+                hashing.owner_of(jnp.asarray(hi_np), jnp.asarray(lo_np), S)
+            )
+            per = {s: np.nonzero(owner == s)[0] for s in range(S)}
+        max_cnt = max((len(v) for v in per.values()), default=0)
+        rounds = int(multihost.all_processes_max(-(-max_cnt // chunk)))
+        if rounds == 0:
+            return 0
+        if self._promote_fn is None:
+            self._promote_fn = make_promote_insert(self.spec, self.mesh, chunk)
+        n_full = self.spec.optimizer.num_fulldim_slots()
+        n_row = self.spec.optimizer.num_rowwise_slots()
+        promoted = 0
+        for r in range(rounds):
+            inserted = [0]
+
+            def rnd(s):
+                return per[s][r * chunk : (r + 1) * chunk]
+
+            def pad1(vals_fn, fill, s):
+                idx = rnd(s)
+                out = np.full((chunk,), fill)
+                if len(idx):
+                    out[: len(idx)] = vals_fn(idx)
+                return out
+
+            def pad2(vals_fn, s):
+                idx = rnd(s)
+                out = np.zeros((chunk, dim))
+                if len(idx):
+                    out[: len(idx)] = vals_fn(idx)
+                return out
+
+            hi_b = self._stacked_batch(
+                lambda s: pad1(lambda i: hi_np[i], hashing.EMPTY_HI, s),
+                (chunk,), np.int32,
+            )
+            lo_b = self._stacked_batch(
+                lambda s: pad1(lambda i: lo_np[i], hashing.EMPTY_LO, s),
+                (chunk,), np.int32,
+            )
+            rows_b = self._stacked_batch(
+                lambda s: pad2(lambda i: state["values"][i], s), (chunk, dim),
+                np.float32,
+            )
+
+            def vmask(s):
+                n = len(rnd(s))
+                inserted[0] += n
+                v = np.zeros((chunk,), bool)
+                v[:n] = True
+                return v
+
+            valid_b = self._stacked_batch(vmask, (chunk,), bool)
+            freq_b = self._stacked_batch(
+                lambda s: pad1(lambda i: state["freq"][i], 0, s), (chunk,), np.int32
+            )
+            accum_b = self._stacked_batch(
+                lambda s: pad1(lambda i: state["accum"][i], 0.0, s)
+                if n_row else np.zeros((chunk,)),
+                (chunk,), np.float32,
+            )
+            fulldim_b = tuple(
+                self._stacked_batch(
+                    lambda s, j=j: pad2(lambda i: state["fulldim"][j][i], s),
+                    (chunk, dim), np.float32,
+                )
+                for j in range(n_full)
+            )
+            self.stacked = self._promote_fn(
+                self.stacked, hi_b, lo_b, rows_b, valid_b, freq_b, accum_b,
+                fulldim_b, jnp.int32(self.step),
+            )
+            promoted += inserted[0]
+        return promoted
+
     def maintenance(self) -> dict:
+        promoted = self._apply_promotions()
         if self.spec.policy.evict_policy == "none":
-            return {"evicted": 0}
+            return {"evicted": 0, "promoted": promoted}
         evict = jax.shard_map(
             lambda stacked, step: jax.tree.map(
                 lambda a: a[None],
@@ -264,7 +446,10 @@ class ShardedTrainer:
             codec = SpillCodec(self.spec)
             for e in local.values():
                 spill_export(codec, self.spill, e)
-        return {"evicted": int(multihost.all_processes_sum(total))}
+        return {
+            "evicted": int(multihost.all_processes_sum(total)),
+            "promoted": promoted,
+        }
 
     # --- elastic checkpoint/restore (SURVEY.md C19; BASELINE config 5) -------
     def save_checkpoint(self, path: str, extras: Optional[dict] = None) -> dict:

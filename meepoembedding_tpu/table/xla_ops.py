@@ -77,24 +77,23 @@ def probe(spec: TableSpec, shard: TableShard, uh, ul, valid) -> ProbeResult:
     slot = jnp.full((n,), -1, jnp.int32)
     found = jnp.zeros((n,), bool)
     if nb >= 2:
-        keys_pair = jnp.concatenate(
-            [
-                shard.key_hi.reshape(nb // 2, 2 * LANES),
-                shard.key_lo.reshape(nb // 2, 2 * LANES),
-            ],
-            axis=1,
-        )  # [nb/2, 512]: [hi_even | hi_odd | lo_even | lo_odd]
+        # The key planes VIEWED as bucket pairs: [nb,128] -> [nb/2, 256] is a
+        # free row-major reshape (no copy, no transient — a per-step concat
+        # into one [nb/2,512] plane materialized 2x the key bytes every step)
+        hi_pair = shard.key_hi.reshape(nb // 2, 2 * LANES)
+        lo_pair = shard.key_lo.reshape(nb // 2, 2 * LANES)
         p0 = b0 >> 1
         for g in range((rounds + 1) // 2):
             # probing one extra round when `rounds` is odd is harmless: no
             # key is ever stored beyond its insert rounds, so it can't match
             pg = p0 ^ g
-            row = jnp.take(keys_pair, pg, axis=0)  # [n, 512]
-            m_e = (row[:, :LANES] == uh[:, None]) & (
-                row[:, 2 * LANES : 3 * LANES] == ul[:, None]
+            row_h = jnp.take(hi_pair, pg, axis=0)  # [n, 256]
+            row_l = jnp.take(lo_pair, pg, axis=0)  # [n, 256]
+            m_e = (row_h[:, :LANES] == uh[:, None]) & (
+                row_l[:, :LANES] == ul[:, None]
             )
-            m_o = (row[:, LANES : 2 * LANES] == uh[:, None]) & (
-                row[:, 3 * LANES :] == ul[:, None]
+            m_o = (row_h[:, LANES:] == uh[:, None]) & (
+                row_l[:, LANES:] == ul[:, None]
             )
             # invalid (sentinel) ids would match empty lanes -> mask by valid
             hit_e = m_e.any(axis=1) & valid
@@ -218,7 +217,11 @@ def gather_values(spec: TableSpec, plane: jax.Array, slot: jax.Array) -> jax.Arr
         out = jnp.zeros((n, spec.dim), jnp.float32)
         for p, ep in enumerate(_window_select_mats(spec)):
             m = (sub == p).astype(jnp.float32)[:, None]
-            out = out + jnp.dot(g * m, ep, preferred_element_type=jnp.float32)
+            # HIGHEST: default TPU matmul precision rounds operands to bf16,
+            # silently truncating f32 rows (ADVICE r1); one-hot selections
+            # are bit-exact under HIGHEST.
+            out = out + jnp.dot(g * m, ep, preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
         return out.astype(plane.dtype)
     rps = spec.rows_per_slot
     idx = s[:, None] * rps + jnp.arange(rps, dtype=jnp.int32)[None, :]
@@ -239,7 +242,8 @@ def _expand_row_update(spec: TableSpec, slot, upd):
         rowupd = jnp.zeros((n, LANES), jnp.float32)
         for p, ep in enumerate(_window_select_mats(spec)):
             m = (sub == p).astype(jnp.float32)[:, None]
-            rowupd = rowupd + jnp.dot(upd * m, ep.T, preferred_element_type=jnp.float32)
+            rowupd = rowupd + jnp.dot(upd * m, ep.T, preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.HIGHEST)
         return vrow, rowupd
     rps = spec.rows_per_slot
     idx = s[:, None] * rps + jnp.arange(rps, dtype=jnp.int32)[None, :]
@@ -582,7 +586,8 @@ def window_extract(spec: TableSpec, g128, sub) -> jax.Array:
     out = jnp.zeros((n, spec.dim), jnp.float32)
     for p, ep in enumerate(_window_select_mats(spec)):
         m = (sub == p).astype(jnp.float32)[:, None]
-        out = out + jnp.dot(g * m, ep, preferred_element_type=jnp.float32)
+        out = out + jnp.dot(g * m, ep, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
     return out
 
 
@@ -596,8 +601,42 @@ def window_place(spec: TableSpec, x, sub) -> jax.Array:
     out = jnp.zeros((n, LANES), jnp.float32)
     for p, ep in enumerate(_window_select_mats(spec)):
         m = (sub == p).astype(jnp.float32)[:, None]
-        out = out + jnp.dot(x * m, ep.T, preferred_element_type=jnp.float32)
+        out = out + jnp.dot(x * m, ep.T, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
     return out
+
+
+def rows_for_batch(spec: TableSpec, g128, sub, inverse) -> jax.Array:
+    """[U, 128] window rows + [U] window index + [n] inverse -> [n, dim] rows
+    in batch order. Every heavy op is U-level or 128-lane: window extract at
+    U (cheap [U,128]x[128,dim] matmuls), zero-pad to 128 lanes, ONE [n,128]
+    row gather, lane slice. Replaces the n-level formulation
+    (window_extract(g128[inverse], sub[inverse])) whose 1-D sub gather alone
+    measured 6.6 ms at n=512K and whose window matmuls ran at n instead of U.
+    Differentiable: the VJP is lane-pad -> [n,128] row scatter-add -> U-level
+    window_place — exactly the fast hand-written backward."""
+    rows_u = window_extract(spec, g128, sub)  # [U, dim] f32
+    if spec.dim == LANES:
+        return jnp.take(rows_u, inverse, axis=0)
+    pad = jnp.pad(rows_u, ((0, 0), (0, LANES - spec.dim)))
+    return jnp.take(pad, inverse, axis=0)[:, : spec.dim]
+
+
+def grads_to_window(spec: TableSpec, g, sub, inverse, num_unique) -> jax.Array:
+    """[n, dim] per-occurrence grads -> [U, 128] window-space per-slot grads:
+    the explicit adjoint of rows_for_batch (for hand-written backward paths
+    like bench.py). Zero-pad lanes, one duplicate-tolerant [n,128] row
+    scatter-add, U-level window_place."""
+    g = g.astype(jnp.float32)
+    if spec.dim == LANES:
+        return jnp.zeros((num_unique, LANES), jnp.float32).at[inverse].add(
+            g, mode="drop"
+        )
+    gpad = jnp.pad(g, ((0, 0), (0, LANES - spec.dim)))
+    g0 = jnp.zeros((num_unique, LANES), jnp.float32).at[inverse].add(
+        gpad, mode="drop"
+    )
+    return window_place(spec, g0[:, : spec.dim], sub)
 
 
 def lookup_rows_expand(

@@ -147,8 +147,11 @@ class PromotionEngine:
             return None
         keys = np.concatenate([k for k, _ in staged])
         payload = np.concatenate([p for _, p in staged])
-        keys, idx = np.unique(keys, return_index=True)  # last-write-wins on dups is fine
-        payload = payload[idx]
+        # last-write-wins on dups: unique keeps the FIRST occurrence, so
+        # reverse feed order first (ADVICE r1: first-wins kept stale payloads)
+        keys_rev, payload_rev = keys[::-1], payload[::-1]
+        keys, idx = np.unique(keys_rev, return_index=True)
+        payload = payload_rev[idx]
         self.backend.erase_batch(keys)
         self.promoted += len(keys)
         return keys, self.codec.unpack(payload)

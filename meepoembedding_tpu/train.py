@@ -74,12 +74,12 @@ class Trainer:
                 )
                 # differentiate w.r.t. the [U, 128] window-space rows: the
                 # backward pass then emits window-space grads directly and
-                # every gather/scatter stays at 128 lanes (xla_ops note)
-                sub_n = jnp.take(ctx.sub, uniq.inverse)
+                # every gather/scatter stays at 128 lanes (xla_ops note);
+                # rows_for_batch keeps the window matmuls at U, not n
 
                 def loss_fn(params, g128):
-                    emb = xla_ops.window_extract(
-                        spec, g128[uniq.inverse], sub_n
+                    emb = xla_ops.rows_for_batch(
+                        spec, g128, ctx.sub, uniq.inverse
                     ).reshape(b, s, spec.dim)
                     logits = model.apply(params, dense, emb)
                     return bce_with_logits(logits, label), logits

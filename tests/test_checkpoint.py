@@ -189,19 +189,34 @@ def test_corrupt_save_never_clobbers(tmp_path):
     p = str(tmp_path / "c")
     t.save(p)
     before = _table_state(t)
-    # simulate a crashed overwrite: partial shard file, no manifest update
+    # simulate a crashed SECOND save: a partial new generation dir appears
+    # (garbage shard file) but the manifest is never updated — the committed
+    # generation must stay untouched and loadable
     import os
 
-    with open(os.path.join(p, "shard-00000.npz"), "rb") as f:
-        good = f.read()
-    try:
-        t.shard = t.shard  # no-op; emulate failure by writing garbage tmp only
-        with open(os.path.join(p, ".tmp-ckpt-dead"), "wb") as f:
-            f.write(b"garbage")
-        t2 = DynamicEmbeddingTable(t.cfg)
-        t2.load(p)
-        after = _table_state(t2)
-        assert set(after) == set(before)
-    finally:
-        with open(os.path.join(p, "shard-00000.npz"), "wb") as f:
-            f.write(good)
+    os.makedirs(os.path.join(p, "step-999"), exist_ok=True)
+    with open(os.path.join(p, "step-999", "shard-00000.npz"), "wb") as f:
+        f.write(b"garbage")
+    with open(os.path.join(p, ".tmp-ckpt-dead"), "wb") as f:
+        f.write(b"garbage")
+    t2 = DynamicEmbeddingTable(t.cfg)
+    t2.load(p)
+    after = _table_state(t2)
+    assert set(after) == set(before)
+
+
+def test_resave_same_step_keeps_checkpoint_loadable(tmp_path):
+    """Re-saving at the same step lands in a fresh generation (never clobbers
+    the live one in place) and the result still restores."""
+    t, ids = _trained_table(n_ids=64)
+    p = str(tmp_path / "c2")
+    t.save(p)
+    t.save(p)  # same step again
+    import json, os
+
+    with open(os.path.join(p, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["dir"].startswith("step-")
+    t2 = DynamicEmbeddingTable(t.cfg)
+    t2.load(p)
+    assert set(_table_state(t2)) == set(_table_state(t))

@@ -64,6 +64,37 @@ def test_unknown_field_raises():
         load_configs(None, ["bogus.x=1"])
 
 
+def test_train_stream_host_sharding(tmp_path):
+    """VERDICT r1 #7: a multi-host `train` must feed each host a DISJOINT
+    slice of the data — hosts 0 and 1 of 2 must see different lines."""
+    from meepoembedding_tpu.cli import make_train_stream
+    from meepoembedding_tpu.config import ModelConfig, RunConfig
+
+    # tiny criteo-format file: label \t 13 ints \t 26 hex cats
+    rows = []
+    for i in range(8):
+        ints = "\t".join(str(i + j) for j in range(13))
+        cats = "\t".join(f"{i * 100 + j:08x}" for j in range(26))
+        rows.append(f"{i % 2}\t{ints}\t{cats}")
+    p = tmp_path / "day.tsv"
+    p.write_text("\n".join(rows) + "\n")
+
+    run = RunConfig(batch_size=4)
+    model = ModelConfig()
+    s0 = make_train_stream(str(p), run, model, host_id=0, num_hosts=2)
+    s1 = make_train_stream(str(p), run, model, host_id=1, num_hosts=2)
+    assert (s0.host_id, s0.num_hosts) == (0, 2)
+    b0 = next(s0.batches(1))
+    b1 = next(s1.batches(1))
+    assert not np.array_equal(b0["ids"], b1["ids"]), "hosts saw identical data"
+    # synthetic streams decorrelate by seed
+    t0 = make_train_stream("synthetic", run, model, host_id=0, num_hosts=2)
+    t1 = make_train_stream("synthetic", run, model, host_id=1, num_hosts=2)
+    assert not np.array_equal(
+        next(t0.batches(1))["ids"], next(t1.batches(1))["ids"]
+    )
+
+
 def test_train_ckpt_serve_cli(tmp_path):
     """L7 end-to-end: single-device train writes a checkpoint; `serve`
     restores it and emits batch scores (no inserts)."""

@@ -59,7 +59,7 @@ def test_sharded_lookup_matches_oracle(mesh, rng):
     stacked = alloc_stacked_shards(spec, mesh)
     oracle = OracleTable(dim, 0.02)
     n_per_dev = 64
-    cap = st.a2a_capacity(n_per_dev, 8, factor=8.0)  # lossless for the test
+    cap = st.a2a_capacity(n_per_dev, 8)  # production default factor
     fn = _sharded_lookup_fn(spec, mesh, n_per_dev, cap)
     for step in range(3):
         ids = _ids(rng, 8 * n_per_dev)
@@ -78,7 +78,7 @@ def test_keys_land_on_owner_shard(mesh, rng):
     ids = rng.permutation(np.arange(1, 100001, dtype=np.int64) * 7919)[:512]
     n_per_dev = 64
     hi, lo = hashing.split_ids(ids)
-    cap = st.a2a_capacity(n_per_dev, 8, factor=8.0)
+    cap = st.a2a_capacity(n_per_dev, 8)
     fn = _sharded_lookup_fn(spec, mesh, n_per_dev, cap)
     stacked, _, _ = fn(stacked, jnp.asarray(hi), jnp.asarray(lo), jnp.int32(0))
     owners = np.asarray(hashing.owner_of(jnp.asarray(hi), jnp.asarray(lo), 8))
@@ -111,6 +111,55 @@ def test_sharded_trainer_learns(mesh):
     # keys spread across shards
     cnt = np.asarray(jax.device_get(tr.stacked.cnt)).sum(axis=(1,))
     assert (cnt > 0).all()
+
+
+def test_exchange_drop_free_at_default_factor(mesh, rng):
+    """VERDICT r1 #3: at the production factor (1.25) a zipf-skewed id stream
+    must show route_drops == 0 — per-destination counts are binomial under
+    the murmur owner hash, so 1.25x the mean is tens of sigma of headroom."""
+    dim = 8
+    cfg = TableConfig(dim=dim, capacity=1 << 17, initializer_scale=0.02)
+    spec = TableSpec.from_config(cfg, num_shards=8)
+    stacked = alloc_stacked_shards(spec, mesh)
+    n_per_dev = 2048
+    cap = st.a2a_capacity(n_per_dev, 8, factor=1.25)
+    assert cap < n_per_dev, "capacity must be genuinely sub-lossless"
+    fn = _sharded_lookup_fn(spec, mesh, n_per_dev, cap)
+    for step in range(4):
+        # zipf-ish: hot head + long tail; uniques close to the dedup cap
+        hot = rng.integers(0, 3000, size=8 * n_per_dev // 2)
+        tail = rng.integers(0, 10**9, size=8 * n_per_dev - len(hot))
+        ids = (np.concatenate([hot, tail]).astype(np.int64) * 7919) + 1
+        hi, lo = hashing.split_ids(ids)
+        stacked, _, _ = fn(stacked, jnp.asarray(hi), jnp.asarray(lo), jnp.int32(step))
+    counters = np.asarray(jax.device_get(stacked.counters)).sum(axis=0)
+    assert counters[st.ROUTE_DROPS] == 0, f"drops: {counters[st.ROUTE_DROPS]}"
+
+
+def test_exchange_auto_resizes_on_drops(mesh):
+    """An undersized exchange capacity must be detected (route_drops) and the
+    trainer must auto-double a2a_factor so drops stop."""
+    dim = 8
+    run = RunConfig(
+        batch_size=4096, steps=4, dense_learning_rate=3e-3, a2a_factor=0.35
+    )
+    table = TableConfig(dim=dim, capacity=1 << 16)
+    model = ModelConfig(
+        kind="ctr_mlp", num_dense_features=4, num_sparse_features=4,
+        embedding_dim=dim, bottom_mlp=(16, dim), top_mlp=(32, 1),
+    )
+    data = SyntheticConfig(
+        num_dense=4, num_sparse=4, batch_size=4096, vocab_per_feature=200000
+    )
+    tr = ShardedTrainer(run, table, model, mesh=mesh)
+    stream = SyntheticStream(data).batches(4)
+    tr.train_step(next(stream))
+    drops_after_1 = tr.counters()["route_drops"]
+    assert drops_after_1 > 0, "test setup must actually overflow the exchange"
+    assert tr.a2a_factor > run.a2a_factor, "factor must have grown"
+    for batch in stream:
+        tr.train_step(batch)
+    assert tr.counters()["route_drops"] == drops_after_1, "drops must stop"
 
 
 def test_sharded_matches_single_device_training(mesh):

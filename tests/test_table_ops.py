@@ -108,6 +108,55 @@ class TestFindOrInsert:
         np.testing.assert_allclose(np.asarray(rows), np.asarray(expect), rtol=1e-4, atol=1e-8)
 
 
+class TestWindowExactness:
+    @pytest.mark.parametrize("dim", [8, 32, 128])
+    def test_insert_gather_roundtrip_bit_exact(self, rng, dim):
+        """The window pack/unpack matmuls must be BIT-exact for f32 rows
+        (ADVICE r1: default TPU matmul precision rounds operands to bf16;
+        precision=HIGHEST keeps one-hot selections exact). Exercised on
+        whatever backend runs the suite; on TPU this catches the bf16 path."""
+        spec = make_spec(dim=dim, nb=8)
+        shard = alloc_shard(spec)
+        ids = np.unique(_ids(rng, 64))
+        n = len(ids)
+        hi, lo = hashing.split_ids(ids)
+        # rows with full mantissas: bf16 rounding would be visible
+        rows = rng.normal(size=(n, dim)).astype(np.float32)
+        valid = jnp.ones((n,), bool)
+        shard, ok = jax.jit(xla_ops.insert_rows, static_argnums=(0,))(
+            spec, shard, jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(rows),
+            valid, jnp.int32(0),
+        )
+        assert np.asarray(ok).all()
+        pr = jax.jit(xla_ops.probe, static_argnums=(0,))(
+            spec, shard, jnp.asarray(hi), jnp.asarray(lo), valid
+        )
+        got = np.asarray(xla_ops.lookup_rows(spec, shard, pr.slot))
+        np.testing.assert_array_equal(got, rows)
+
+    def test_evict_restores_exact_zero(self, rng):
+        """Evicting every row must return values planes to exact zeros (the
+        ADD-form write invariant); bf16-rounded window matmuls leave residue."""
+        spec = make_spec(
+            dim=8, nb=4, policy=PolicyConfig(evict_policy="ttl", ttl_steps=0)
+        )
+        shard = alloc_shard(spec)
+        ids = np.unique(_ids(rng, 64))
+        hi, lo = hashing.split_ids(ids)
+        valid = jnp.ones((len(ids),), bool)
+        rows = rng.normal(size=(len(ids), 8)).astype(np.float32)
+        shard, ok = jax.jit(xla_ops.insert_rows, static_argnums=(0,))(
+            spec, shard, jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(rows),
+            valid, jnp.int32(0),
+        )
+        shard, export = jax.jit(xla_ops.evict_pass, static_argnums=(0,))(
+            spec, shard, jnp.int32(10**6)
+        )
+        assert int(export.count) == int(np.asarray(ok).sum())
+        assert np.abs(np.asarray(shard.values)).max() == 0.0
+        assert int(jnp.sum(shard.cnt)) == 0
+
+
 class TestProbeChains:
     def test_probe_past_full_bucket(self, rng):
         """Keys overflowing a full bucket land in the next; lookups find them."""

@@ -149,6 +149,77 @@ def test_adam_state_survives_spill_promote(rng):
         np.testing.assert_array_equal(after["full1"][o_a[k]], before["full1"][o_b[k]])
 
 
+def test_sharded_evict_spill_promote_roundtrip(rng):
+    """VERDICT r1 #6: the sharded trainer's cold tier must be bidirectional —
+    evict -> spill -> re-touch -> promoted state (value + freq + accumulator)
+    bit-equal on the owner shards."""
+    from meepoembedding_tpu import checkpoint
+    from meepoembedding_tpu.config import ModelConfig, RunConfig
+    from meepoembedding_tpu.parallel.mesh import make_mesh
+    from meepoembedding_tpu.parallel.trainer import ShardedTrainer, addressable_shard_trees
+
+    table = TableConfig(
+        dim=8, capacity=1 << 12,
+        policy=PolicyConfig(evict_policy="ttl", ttl_steps=3, max_evict_per_pass=1 << 10),
+    )
+    spec_probe = TableSpec.from_config(table, num_shards=4)
+    spill = make_backend("python", width=SpillCodec(spec_probe).width)
+    run = RunConfig(batch_size=64, steps=2)
+    model = ModelConfig(
+        kind="ctr_mlp", num_dense_features=4, num_sparse_features=3,
+        embedding_dim=8, top_mlp=(16, 1),
+    )
+    tr = ShardedTrainer(run, table, model, mesh=make_mesh(4), spill=spill)
+
+    cold_ids = np.arange(1, 97, dtype=np.int64) * 7919
+
+    def batch(ids_flat):
+        return {
+            "dense": rng.normal(size=(64, 4)).astype(np.float32),
+            "ids": ids_flat.reshape(64, 3),
+            "label": (rng.random(64) < 0.3).astype(np.float32),
+        }
+
+    def state():
+        out = {}
+        for sh in addressable_shard_trees(tr.stacked).values():
+            arrs = checkpoint.export_shard_arrays(tr.spec, sh)
+            for j, k in enumerate(arrs["ids"]):
+                out[int(k)] = (
+                    arrs["values"][j].copy(), int(arrs["freq"][j]),
+                    float(arrs["accum"][j]),
+                )
+        return out
+
+    for _ in range(2):
+        tr.train_step(batch(np.tile(cold_ids, 2)))
+    before = state()
+    assert set(before) == set(map(int, cold_ids))
+
+    hot = np.arange(1, 193, dtype=np.int64) * 104729 + 10**12
+    for i in range(5):
+        tr.train_step(batch(hot[:192]))
+    out = tr.maintenance()
+    assert out["evicted"] >= len(cold_ids)
+    _, found = spill.lookup_batch(cold_ids)
+    assert found.all()
+
+    # re-touch the cold ids: misses feed the promoter; next maintenance
+    # overwrites the interim fresh-trained rows with the spilled state
+    tr.train_step(batch(np.tile(cold_ids, 2)))
+    tr._promoter.flush()
+    out = tr.maintenance()
+    assert out["promoted"] >= len(cold_ids)
+    after = state()
+    for k in map(int, cold_ids):
+        np.testing.assert_array_equal(after[k][0], before[k][0])
+        assert after[k][1] == before[k][1]
+        np.testing.assert_array_equal(after[k][2], before[k][2])
+    assert tr.counters()["promotes"] >= len(cold_ids)
+    _, found = spill.lookup_batch(cold_ids)
+    assert not found.any()
+
+
 def test_sharded_trainer_spills_full_state(rng):
     from meepoembedding_tpu.config import ModelConfig, RunConfig
     from meepoembedding_tpu.parallel.mesh import make_mesh

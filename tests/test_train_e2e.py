@@ -52,6 +52,21 @@ def test_dlrm_smoke():
     assert np.isfinite(tr.auc.compute())
 
 
+def test_fused_path_adam_and_adagrad_small_dim():
+    """ADVICE r1: the fused lookup_train fallback for adam/adagrad passed
+    window-space [U,128] rows where [U,dim] was expected, crashing every
+    dim<128 train step with those optimizers. Must train cleanly now."""
+    for opt in ("adam", "adagrad"):
+        run, table, model, data = _cfgs(batch=64, opt=opt)
+        run = RunConfig(batch_size=64, steps=5, log_every=100)
+        tr = train(
+            run, table, model, SyntheticStream(data), logger=JsonlLogger(echo=False)
+        )
+        assert np.isfinite(tr.auc.compute())
+        c = np.asarray(tr.shard.counters)
+        assert c[2] > 0  # inserts happened
+
+
 def test_eval_does_not_mutate():
     run, table, model, data = _cfgs(batch=64)
     run = RunConfig(batch_size=64, steps=3, log_every=100)
