@@ -44,16 +44,32 @@ def main():
     dim = int(os.environ.get("MEEPO_BENCH_DIM", 32))
     steps = int(os.environ.get("MEEPO_BENCH_STEPS", 20))
     fill = float(os.environ.get("MEEPO_BENCH_FILL", 0.8))
+    vdtype = os.environ.get("MEEPO_BENCH_DTYPE", "float32")
 
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind}, cap={cap}, batch={batch}, dim={dim}")
 
+    # max_probe_rounds=2: pair-probing (one 256-slot group per key) halves
+    # probe traffic to ONE [n,512] gather. At 0.8 load, pair overflow is
+    # P(Poisson(204.8) > 256) ~ 1.6e-4 per insert — those inserts are
+    # DROPPED and counted (printed below); a dynamic table with admission
+    # tolerates this by design. Set MEEPO_BENCH_ROUNDS=4 for zero drops.
+    rounds = int(os.environ.get("MEEPO_BENCH_ROUNDS", 2))
     cfg = TableConfig(
         dim=dim, capacity=cap,
         optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.05),
         initializer_scale=0.01,
+        value_dtype=vdtype,
+        max_probe_rounds=rounds,
+        # admission throttling: steady-state steps have a handful of misses;
+        # capping admitted inserts per step keeps insert planning at the cap
+        # instead of the batch (prefill below uses an uncapped spec)
+        insert_cap=1 << 15,
     )
     spec = TableSpec.from_config(cfg, num_shards=1)
+    import dataclasses as _dc
+
+    spec_prefill = _dc.replace(spec, insert_cap=None)
     log(f"hbm bytes: {spec.hbm_bytes()/1e9:.2f} GB, buckets={spec.num_buckets}")
 
     shard = jax.jit(lambda: alloc_shard(spec))()
@@ -74,12 +90,14 @@ def main():
             # fused path: values land via the size-dispatched scatter (the
             # find_or_insert cond would carry the values plane and force XLA
             # to double-buffer it -> OOM for >HBM/2 tables)
-            shard, ctx = xla_ops.lookup_train(spec, shard, hi, lo, valid, step)
+            shard, ctx = xla_ops.lookup_train(spec_prefill, shard, hi, lo, valid, step)
             shard = optim.apply_sparse_grads_ctx(
-                spec, shard, ctx, jnp.zeros_like(ctx.g128)
+                spec_prefill, shard, ctx, jnp.zeros_like(ctx.g128)
             )
         else:
-            shard, _, _ = xla_ops.find_or_insert(spec, shard, hi, lo, valid, step)
+            shard, _, _ = xla_ops.find_or_insert(
+                spec_prefill, shard, hi, lo, valid, step
+            )
         return shard
 
     prefill_batch = min(batch, 1 << 20)
@@ -95,19 +113,31 @@ def main():
     log(f"prefill {n_live} rows in {time.perf_counter()-t0:.1f}s, "
         f"load={float(jnp.sum(shard.cnt))/spec.capacity:.3f}")
 
-    # --- steady-state id stream (zipf-ish over live keys) --------------------
+    # --- steady-state id stream: bounded Zipf over the live keys -------------
+    # CTR id traffic is heavy-tailed: a small head of ids dominates. s=1.05
+    # gives ~0.35 uniques/id per 512K batch at 26.8M live keys. (Round 1 used
+    # a two-uniform mixture that came out 94% unique — an unrealistically
+    # dedup-hostile stream; MEEPO_BENCH_ZIPF=0 restores it for comparison,
+    # and BASELINE.md reports both.)
+    zipf_s = float(os.environ.get("MEEPO_BENCH_ZIPF", 1.05))
     rng = np.random.default_rng(0)
-    def stream_batch():
-        # 80% hot head (10% of keys), 20% tail — CTR-like reuse pattern
-        hot = rng.integers(0, max(1, n_live // 10), size=int(batch * 0.8))
-        cold = rng.integers(0, n_live, size=batch - len(hot))
-        return np.concatenate([hot, cold]) * key_mult
 
-    # dedup capacity (static): defaults to the full batch (this stream is only
-    # ~6% duplicated, so undersizing would overflow — the run verifies
-    # uniq.count < ucap below). Streams with heavier reuse can set
-    # MEEPO_BENCH_UCAP to shrink every U-sized op in the step.
-    ucap = int(os.environ.get("MEEPO_BENCH_UCAP", batch))
+    def stream_batch():
+        if zipf_s <= 0:
+            hot = rng.integers(0, max(1, n_live // 10), size=int(batch * 0.8))
+            cold = rng.integers(0, n_live, size=batch - len(hot))
+            return np.concatenate([hot, cold]) * key_mult
+        t = 1.0 - zipf_s  # inverse CDF of p(k) ~ k^-s over [1, n_live]
+        u = rng.random(batch)
+        k = ((float(n_live) ** t - 1.0) * u + 1.0) ** (1.0 / t)
+        k = np.minimum(k.astype(np.int64), n_live) - 1
+        return k * key_mult
+
+    # dedup capacity (static): half the batch covers the zipf stream's ~35%
+    # unique rate with margin — every U-sized op in the step runs at the cap.
+    # The run VERIFIES no overflow (uniq.count < ucap asserts below).
+    default_ucap = batch if zipf_s <= 0 else max(1024, batch // 2)
+    ucap = int(os.environ.get("MEEPO_BENCH_UCAP", default_ucap))
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_cycle(shard, hi, lo, grad_seed, step):
@@ -181,6 +211,9 @@ def main():
     ids_per_sec = batch / dt
     log(f"dynamic: {ids_per_sec/1e6:.2f}M ids/s (best {dt*1e3:.2f} ms/step, "
         f"windows {[f'{w*1e3:.1f}' for w in windows]})")
+    c = np.asarray(shard.counters)
+    log(f"counters: hits={c[0]} misses={c[1]} inserts={c[2]} drops={c[3]} "
+        f"(drop rate {c[3]/max(1, c[2]+c[3]):.2e})")
 
     # --- speed-of-light baseline: static gather + scatter-add, same geometry -
     values = shard.values  # reuse allocation

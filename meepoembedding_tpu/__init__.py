@@ -23,6 +23,22 @@ TPU-native realization (see SURVEY.md §1 for the layer map):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Honor JAX_PLATFORMS BEFORE the imports below can initialize a jax backend
+# (importing pallas modules creates the client): plugin-registered backends
+# (e.g. a tunneled TPU) can PREPEND themselves to the platform list and win
+# selection even when the env var names "cpu". Only strip exactly that
+# prepended prefix — never override a platform the program already chose via
+# jax.config.update (conftests do that before importing this package).
+_plat = _os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax as _jax
+
+    _cur = str(_jax.config.jax_platforms or "")
+    if _cur != _plat and _cur.endswith("," + _plat):
+        _jax.config.update("jax_platforms", _plat)
+
 from meepoembedding_tpu.config import (  # noqa: F401
     TableConfig,
     OptimizerConfig,

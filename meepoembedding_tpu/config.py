@@ -87,6 +87,11 @@ class TableConfig:
     capacity: int = 1 << 20
     initializer_scale: float = 0.01
     max_probe_rounds: int = 4
+    # Bound on ADMITTED inserts per lookup batch (admission throttling).
+    # Pending keys beyond the cap are deferred to their next occurrence
+    # (counted as drops). None = unbounded. A small cap (e.g. 1<<15) keeps
+    # steps with a few misses from paying batch-sized insert planning.
+    insert_cap: Optional[int] = None
     value_dtype: str = "float32"
     optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
     policy: PolicyConfig = dataclasses.field(default_factory=PolicyConfig)

@@ -45,7 +45,13 @@ def sorted_run_sums(ks: jax.Array, vs: jax.Array, disjoint: bool = False):
     n = ks.shape[0]
     if disjoint and not jnp.issubdtype(vs.dtype, jnp.integer):
         d = vs.shape[-1]
-        u = jax.lax.bitcast_convert_type(vs.astype(jnp.float32), jnp.uint32)
+        # canonicalize -0.0 -> +0.0: masked/window-expanded updates produce
+        # negative zeros (x * 0.0 == -0.0), which are bitwise 0x80000000 and
+        # would violate the one-nonzero-contributor-per-column contract by
+        # adding 128 into another contributor's sign byte
+        f = vs.astype(jnp.float32)
+        f = jnp.where(f == 0.0, 0.0, f)
+        u = jax.lax.bitcast_convert_type(f, jnp.uint32)
         planes = jnp.concatenate(
             [((u >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)).astype(jnp.int32)
              for j in range(4)],

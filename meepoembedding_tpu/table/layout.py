@@ -56,6 +56,7 @@ class TableSpec:
     value_dtype: str
     optimizer: OptimizerConfig
     policy: PolicyConfig
+    insert_cap: "int | None" = None
 
     @staticmethod
     def from_config(cfg: TableConfig, num_shards: int = 1) -> "TableSpec":
@@ -67,6 +68,7 @@ class TableSpec:
             value_dtype=cfg.value_dtype,
             optimizer=cfg.optimizer,
             policy=cfg.policy,
+            insert_cap=cfg.insert_cap,
         )
 
     # --- derived geometry -------------------------------------------------

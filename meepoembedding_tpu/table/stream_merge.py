@@ -32,6 +32,11 @@ from meepoembedding_tpu.config import LANES
 
 BLOCKR = 512  # plane rows per block (256 KiB f32 slab)
 MAXU = 32  # update rows per window/grid step (dense blocks repeat)
+ALIGN = 8  # window DMA starts must sit on the HBM sublane tiling (bf16
+# planes pack 2 rows/sublane and Mosaic requires provable 8-divisibility),
+# so windows advance by MAXU-ALIGN updates, are READ from the aligned-down
+# start, and the kernel masks each window to its exact [off, off+stride) rows
+STRIDE = MAXU - ALIGN
 _SENT = jnp.int32(2**30)  # uvrow sentinel: matches no block
 
 
@@ -39,8 +44,8 @@ DEPTH = 3  # buffer-ring depth: reads for i+1 overlap compute(i) AND the
 # in-flight write of i-1 (distinct ring slots -> no wait before issuing)
 
 
-def _kernel(bids_ref, starts_ref, vwin_hbm, uwin_hbm, plane_ref, out_ref,
-            slab, vbuf, ubuf, rsem, wsem):
+def _kernel(bids_ref, starts_ref, vwin_hbm, uwin_hbm, plane_ref,
+            out_ref, slab, vbuf, ubuf, rsem, wsem):
     """Grid step i processes (block bids[i], updates [starts[i], +MAXU)).
 
     DEPTH-deep software pipeline over a buffer ring (slot r = i % DEPTH):
@@ -57,7 +62,10 @@ def _kernel(bids_ref, starts_ref, vwin_hbm, uwin_hbm, plane_ref, out_ref,
     r = i % DEPTH
 
     def bid_at(j):
-        return jnp.where((j >= 0) & (j < n), bids_ref[jnp.clip(j, 0, n - 1)], -2)
+        # bids are ENCODED bid * ALIGN + off (3 prefetch arrays would blow
+        # the 1 MiB SMEM budget at 100M-row planes); negatives pass through
+        raw = jnp.where((j >= 0) & (j < n), bids_ref[jnp.clip(j, 0, n - 1)], -2)
+        return jnp.where(raw >= 0, raw // ALIGN, raw)
 
     def wrote_at(j):  # did step j issue a slab write?
         return (bid_at(j) >= 0) & (bid_at(j) != bid_at(j + 1))
@@ -98,7 +106,9 @@ def _kernel(bids_ref, starts_ref, vwin_hbm, uwin_hbm, plane_ref, out_ref,
         """Start reads for step j into ring slot j % DEPTH."""
         bj = bid_at(j)
         repeat_j = bj == bid_at(j - 1)
-        st = starts_ref[jnp.clip(j, 0, n - 1)]
+        # ALIGN-multiplied in-kernel so Mosaic can PROVE the DMA start is
+        # tile-aligned (a prefetched runtime scalar alone is unprovable)
+        st = starts_ref[jnp.clip(j, 0, n - 1)] * ALIGN
 
         def start(s):
             v, u = win_dmas(s, st)
@@ -129,13 +139,14 @@ def _kernel(bids_ref, starts_ref, vwin_hbm, uwin_hbm, plane_ref, out_ref,
     def _():
         issue_reads(i + 1)
 
-    bid = bids_ref[i]
+    raw_i = bids_ref[i]
+    bid = jnp.where(raw_i >= 0, raw_i // ALIGN, raw_i)
     live = bid >= 0
     is_repeat = bid == bid_at(i - 1)
     will_repeat = bid == bid_at(i + 1)
 
     def compute(s: int):
-        v, u = win_dmas(s, starts_ref[i])
+        v, u = win_dmas(s, starts_ref[i] * ALIGN)
         v.wait()
         u.wait()
 
@@ -151,12 +162,21 @@ def _kernel(bids_ref, starts_ref, vwin_hbm, uwin_hbm, plane_ref, out_ref,
         # one-hot matmul merge on the MXU (measured faster than per-update
         # dynamic-row VMEM RMWs: 47 vs 64 ms at 512K updates / 4.3 GB)
         uvrow = vbuf[s, :, 0]  # [MAXU] i32 (broadcast-encoded)
-        upd = ubuf[s]  # [MAXU, 128] f32
+        # f32 for the MXU dot regardless of plane dtype (bf16 planes: a
+        # mixed-precision dot_general is rejected by Mosaic)
+        upd = ubuf[s].astype(jnp.float32)  # [MAXU, 128]
         base = bid * BLOCKR
+        # this window owns EXACTLY buffer rows [off, off+STRIDE): the buffer
+        # was read from the aligned-down start, and neighbors own the rest
+        off = raw_i % ALIGN
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (MAXU, LANES), 0)
+        own = (rowid >= off) & (rowid < off + STRIDE)
         for q in range(BLOCKR // LANES):
             # oh_T [MAXU, 128]: update j hits chunk-row l iff uvrow == row l
             rows = jax.lax.broadcasted_iota(jnp.int32, (MAXU, LANES), 1)
-            oh = (uvrow[:, None] - (base + q * LANES) == rows).astype(jnp.float32)
+            oh = (
+                (uvrow[:, None] - (base + q * LANES) == rows) & own
+            ).astype(jnp.float32)
             delta = jax.lax.dot_general(
                 oh, upd, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -187,19 +207,167 @@ def _kernel(bids_ref, starts_ref, vwin_hbm, uwin_hbm, plane_ref, out_ref,
                 for_slot(j % DEPTH, lambda s: slab_write_dma(s, bid_at(j)).wait())
 
 
+def _kernel_set(bids_ref, starts_ref, vwin_hbm, uwin_hbm, mwin_hbm,
+                plane_ref, out_ref, slab, vbuf, ubuf, mbuf, rsem, wsem):
+    """SET variant of _kernel: slab lanes where the (one-hot-summed) window
+    mask is set are REPLACED by the window values; others keep the slab.
+    Same DEPTH-deep pipeline; one extra mask window buffer rides the reads.
+    Lane-disjointness within a storage row is the caller's contract (unique
+    slots own disjoint windows), so the one-hot dot unions masks exactly."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    r = i % DEPTH
+
+    def bid_at(j):
+        # bids are ENCODED bid * ALIGN + off (3 prefetch arrays would blow
+        # the 1 MiB SMEM budget at 100M-row planes); negatives pass through
+        raw = jnp.where((j >= 0) & (j < n), bids_ref[jnp.clip(j, 0, n - 1)], -2)
+        return jnp.where(raw >= 0, raw // ALIGN, raw)
+
+    def wrote_at(j):
+        return (bid_at(j) >= 0) & (bid_at(j) != bid_at(j + 1))
+
+    def for_slot(slot, fn):
+        for s in range(DEPTH):
+            @pl.when(slot == s)
+            def _(s=s):
+                fn(s)
+
+    def slab_read_dma(s: int, b):
+        return pltpu.make_async_copy(
+            plane_ref.at[pl.ds(b * BLOCKR, BLOCKR), :], slab.at[s], rsem.at[s, 0]
+        )
+
+    def slab_write_dma(s: int, b):
+        return pltpu.make_async_copy(
+            slab.at[s], out_ref.at[pl.ds(b * BLOCKR, BLOCKR), :], wsem.at[s]
+        )
+
+    def win_dmas(s: int, st):
+        return (
+            pltpu.make_async_copy(
+                vwin_hbm.at[pl.ds(st, MAXU), :], vbuf.at[s], rsem.at[s, 1]
+            ),
+            pltpu.make_async_copy(
+                uwin_hbm.at[pl.ds(st, MAXU), :], ubuf.at[s], rsem.at[s, 2]
+            ),
+            pltpu.make_async_copy(
+                mwin_hbm.at[pl.ds(st, MAXU), :], mbuf.at[s], rsem.at[s, 3]
+            ),
+        )
+
+    def issue_reads(j):
+        bj = bid_at(j)
+        repeat_j = bj == bid_at(j - 1)
+        # ALIGN-multiplied in-kernel so Mosaic can PROVE the DMA start is
+        # tile-aligned (a prefetched runtime scalar alone is unprovable)
+        st = starts_ref[jnp.clip(j, 0, n - 1)] * ALIGN
+
+        def start(s):
+            for d in win_dmas(s, st):
+                d.start()
+
+            @pl.when(~repeat_j)
+            def _():
+                slab_read_dma(s, bj).start()
+
+        @pl.when(bj >= 0)
+        def _():
+            for_slot(j % DEPTH, start)
+
+    @pl.when(i == 0)
+    def _():
+        issue_reads(0)
+
+    @pl.when(wrote_at(i + 1 - DEPTH))
+    def _():
+        for_slot(
+            (i + 1) % DEPTH,
+            lambda s: slab_write_dma(s, bid_at(i + 1 - DEPTH)).wait(),
+        )
+
+    @pl.when(i + 1 < n)
+    def _():
+        issue_reads(i + 1)
+
+    raw_i = bids_ref[i]
+    bid = jnp.where(raw_i >= 0, raw_i // ALIGN, raw_i)
+    live = bid >= 0
+    is_repeat = bid == bid_at(i - 1)
+    will_repeat = bid == bid_at(i + 1)
+
+    def compute(s: int):
+        for d in win_dmas(s, starts_ref[i] * ALIGN):
+            d.wait()
+
+        @pl.when(~is_repeat)
+        def _():
+            slab_read_dma(s, bid).wait()
+
+        @pl.when(is_repeat)
+        def _():
+            slab[s] = slab[(s - 1) % DEPTH]
+
+        uvrow = vbuf[s, :, 0]
+        upd = ubuf[s].astype(jnp.float32)
+        msk = mbuf[s].astype(jnp.float32)
+        base = bid * BLOCKR
+        off = raw_i % ALIGN
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (MAXU, LANES), 0)
+        own = (rowid >= off) & (rowid < off + STRIDE)
+        for q in range(BLOCKR // LANES):
+            rows = jax.lax.broadcasted_iota(jnp.int32, (MAXU, LANES), 1)
+            oh = (
+                (uvrow[:, None] - (base + q * LANES) == rows) & own
+            ).astype(jnp.float32)
+            newv = jax.lax.dot_general(
+                oh, upd, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            newm = jax.lax.dot_general(
+                oh, msk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            cur = slab[s, q * LANES : (q + 1) * LANES, :]
+            slab[s, q * LANES : (q + 1) * LANES, :] = jnp.where(
+                newm > 0.5, newv.astype(slab.dtype), cur
+            )
+
+        @pl.when(~will_repeat)
+        def _():
+            slab_write_dma(s, bid).start()
+
+    @pl.when(live)
+    def _():
+        for_slot(r, compute)
+
+    @pl.when(i == n - 1)
+    def _():
+        for j_off in range(DEPTH - 2, -1, -1):
+            j = i - j_off
+
+            @pl.when(wrote_at(j))
+            def _(j=j):
+                for_slot(j % DEPTH, lambda s: slab_write_dma(s, bid_at(j)).wait())
+
+
 def _plan_windows(uvrow_sorted, m_pad: int, nblocks: int, max_steps: int):
-    """XLA-side planning: touched blocks -> (bids [G], starts [G]) with dense
-    blocks repeated every MAXU updates. G = max_steps (static), padded with
-    bid = -1."""
+    """XLA-side planning: touched blocks -> (bids [G], starts [G], offs [G])
+    with dense blocks repeated every STRIDE updates. G = max_steps (static),
+    padded with bid = -1. `starts` are ALIGN-aligned DMA starts; `offs` is
+    the true window start within the read buffer — the kernel applies only
+    buffer rows [off, off+STRIDE), so neighbors never double-apply."""
     blk = uvrow_sorted // BLOCKR  # [m_pad], sentinel rows -> huge
     m = uvrow_sorted.shape[0]
     idx = jnp.arange(m, dtype=jnp.int32)
     is_first = jnp.concatenate([jnp.ones((1,), bool), blk[1:] != blk[:-1]])
-    # windows: a new grid step starts at every block boundary AND every MAXU
-    # updates within a block
+    # windows: a new grid step starts at every block boundary AND every
+    # STRIDE updates within a block
     first_of_blk = jnp.where(is_first, idx, 0)
     first_of_blk = jax.lax.cummax(first_of_blk)
-    is_step = is_first | (((idx - first_of_blk) % MAXU) == 0)
+    is_step = is_first | (((idx - first_of_blk) % STRIDE) == 0)
     is_step &= blk < nblocks  # drop sentinel tail
     rank = jnp.cumsum(is_step) - 1
     pos = jnp.where(is_step & (rank < max_steps), rank.astype(jnp.int32), max_steps)
@@ -209,9 +377,12 @@ def _plan_windows(uvrow_sorted, m_pad: int, nblocks: int, max_steps: int):
     starts = jnp.zeros((max_steps,), jnp.int32).at[pos].set(
         idx, mode="drop", unique_indices=True
     )
-    # clamp starts so windows stay in bounds (padded tail guarantees room)
+    # clamp so reads stay in bounds (padded tail guarantees room), then
+    # align down for the DMA and carry the remainder as the in-buffer offset
     starts = jnp.minimum(starts, m_pad - MAXU)
-    return bids, starts
+    offs = starts % ALIGN
+    bids_enc = jnp.where(bids >= 0, bids * ALIGN + offs, bids)
+    return bids_enc, (starts - offs) // ALIGN
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
@@ -230,7 +401,7 @@ def _stream_merge_add(plane, vrow, upd, interpret):
     supd = jnp.concatenate([supd, jnp.zeros((MAXU, LANES), supd.dtype)])
     vbro = jnp.broadcast_to(skey[:, None], (m_pad, LANES))  # lane-broadcast i32
 
-    max_steps = min(nblocks, m) + -(-m // MAXU)
+    max_steps = min(nblocks, m) + -(-m // STRIDE)
     bids, starts = _plan_windows(skey, m_pad, nblocks, max_steps)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -258,6 +429,82 @@ def _stream_merge_add(plane, vrow, upd, interpret):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(bids, starts, vbro, supd, plane)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def _stream_merge_set(plane, vrow, upd, mask, interpret):
+    R = plane.shape[0]
+    assert R % BLOCKR == 0, f"plane rows {R} must be a multiple of {BLOCKR}"
+    nblocks = R // BLOCKR
+    m = vrow.shape[0]
+    key = jnp.where((vrow >= 0) & (vrow < R), vrow, _SENT)
+    skey, order = jax.lax.sort((key, jnp.arange(m, dtype=jnp.int32)), num_keys=1)
+    supd = jnp.take(upd.astype(plane.dtype), order, axis=0)
+    smask = jnp.take(mask.astype(plane.dtype), order, axis=0)
+    m_pad = m + MAXU
+    skey = jnp.concatenate([skey, jnp.full((MAXU,), _SENT, jnp.int32)])
+    supd = jnp.concatenate([supd, jnp.zeros((MAXU, LANES), supd.dtype)])
+    smask = jnp.concatenate([smask, jnp.zeros((MAXU, LANES), smask.dtype)])
+    vbro = jnp.broadcast_to(skey[:, None], (m_pad, LANES))
+
+    max_steps = min(nblocks, m) + -(-m // STRIDE)
+    bids, starts = _plan_windows(skey, m_pad, nblocks, max_steps)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(max_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # vbro
+            pl.BlockSpec(memory_space=pltpu.ANY),  # supd
+            pl.BlockSpec(memory_space=pltpu.ANY),  # smask
+            pl.BlockSpec(memory_space=pltpu.ANY),  # plane
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((DEPTH, BLOCKR, LANES), plane.dtype),
+            pltpu.VMEM((DEPTH, MAXU, LANES), jnp.int32),
+            pltpu.VMEM((DEPTH, MAXU, LANES), plane.dtype),
+            pltpu.VMEM((DEPTH, MAXU, LANES), plane.dtype),
+            pltpu.SemaphoreType.DMA((DEPTH, 4)),
+            pltpu.SemaphoreType.DMA((DEPTH,)),
+        ],
+    )
+    return pl.pallas_call(
+        _kernel_set,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(plane.shape, plane.dtype),
+        input_output_aliases={5: 0},  # plane (after 2 scalar-prefetch args)
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(bids, starts, vbro, supd, smask, plane)
+
+
+def stream_merge_set(plane, vrow, upd, mask, interpret: bool = None) -> jax.Array:
+    """plane[vrow[j], l] = upd[j, l] where mask[j, l] (lanes outside the mask
+    keep their value), in place, touching only blocks that contain updates.
+    Contract: within one storage row, contributing updates own DISJOINT lane
+    masks (unique slots). vrow out of [0, R) drops the row."""
+    R = plane.shape[0]
+    if R % BLOCKR != 0 or R < 4 * BLOCKR:
+        # small/unaligned planes: exact XLA mask-merge (cheap at that size);
+        # duplicate vrows are combined first (disjoint lanes by contract)
+        from meepoembedding_tpu.table.pallas_ops import combine_rows_by_vrow
+
+        enabled = (vrow >= 0) & (vrow < R)
+        both = jnp.concatenate(
+            [upd.astype(jnp.float32), mask.astype(jnp.float32)], axis=1
+        )
+        ub, comb = combine_rows_by_vrow(vrow, both, enabled)
+        newv, m = comb[:, :LANES], comb[:, LANES:] > 0
+        old = jnp.take(plane, jnp.clip(ub, 0, R - 1), axis=0).astype(jnp.float32)
+        merged = jnp.where(m, newv, old).astype(plane.dtype)
+        idx = jnp.where(ub >= 0, ub, R)
+        return plane.at[idx].set(merged, mode="drop", unique_indices=True)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _stream_merge_set(
+        plane, vrow.astype(jnp.int32), upd, mask, interpret
+    )
 
 
 def stream_merge_add(plane, vrow, upd, interpret: bool = None) -> jax.Array:

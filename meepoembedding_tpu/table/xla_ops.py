@@ -76,19 +76,29 @@ def probe(spec: TableSpec, shard: TableShard, uh, ul, valid) -> ProbeResult:
 
     slot = jnp.full((n,), -1, jnp.int32)
     found = jnp.zeros((n,), bool)
+    # Gather geometry, measured on v5e at n=512K: random-row gather cost is
+    # dominated by per-row overhead, so WIDER rows win — one [n,512] gather
+    # of a concat'd [hi|lo] pair plane runs 14.4 ms vs 18.2 ms for two
+    # [n,256] gathers of the separate planes. The concat materializes 2x the
+    # key bytes each step, so for very large tables (where that transient
+    # threatens HBM headroom) the two-gather form is used instead.
+    concat_ok = shard.key_hi.size * 8 <= (512 << 20)
     if nb >= 2:
-        # The key planes VIEWED as bucket pairs: [nb,128] -> [nb/2, 256] is a
-        # free row-major reshape (no copy, no transient — a per-step concat
-        # into one [nb/2,512] plane materialized 2x the key bytes every step)
         hi_pair = shard.key_hi.reshape(nb // 2, 2 * LANES)
         lo_pair = shard.key_lo.reshape(nb // 2, 2 * LANES)
+        if concat_ok:
+            keys_pair = jnp.concatenate([hi_pair, lo_pair], axis=1)
         p0 = b0 >> 1
         for g in range((rounds + 1) // 2):
             # probing one extra round when `rounds` is odd is harmless: no
             # key is ever stored beyond its insert rounds, so it can't match
             pg = p0 ^ g
-            row_h = jnp.take(hi_pair, pg, axis=0)  # [n, 256]
-            row_l = jnp.take(lo_pair, pg, axis=0)  # [n, 256]
+            if concat_ok:
+                row = jnp.take(keys_pair, pg, axis=0)  # [n, 512]
+                row_h, row_l = row[:, : 2 * LANES], row[:, 2 * LANES :]
+            else:
+                row_h = jnp.take(hi_pair, pg, axis=0)  # [n, 256]
+                row_l = jnp.take(lo_pair, pg, axis=0)  # [n, 256]
             m_e = (row_h[:, :LANES] == uh[:, None]) & (
                 row_l[:, :LANES] == ul[:, None]
             )
@@ -136,16 +146,8 @@ def _segmented_rank(sort_key: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return order, rank
 
 
-def plan_insert(spec: TableSpec, shard: TableShard, uh, ul, want) -> InsertPlan:
-    """Assign a free (bucket, lane) to each wanted key. Collision-free within
-    the batch: keys targeting the same bucket get distinct ranks, and ranks
-    index into the bucket's deterministic free-lane order; a per-bucket
-    `claimed` tally keeps later probing rounds consistent with earlier ones.
-
-    Rounds are UNROLLED, each guarded by a lax.cond on whether anything is
-    still pending (while_loop iterations cost ~35 ms of loop machinery on
-    TPU; untaken conds are ~free — the steady-state all-hit step pays
-    nothing here)."""
+def _plan_insert_impl(spec: TableSpec, shard: TableShard, uh, ul, want):
+    """The taken path of plan_insert (some key actually needs a slot)."""
     nb = spec.num_buckets
     n = uh.shape[0]
     b0 = hashing.bucket_of(uh, ul, nb)
@@ -155,16 +157,17 @@ def plan_insert(spec: TableSpec, shard: TableShard, uh, ul, want) -> InsertPlan:
         sort_key = jnp.where(pending, b, nb)  # nb == "not pending" sentinel
         order, rank_sorted = _segmented_rank(sort_key)
         rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
-        # Free lanes of each key's bucket, in ascending-lane order.
+        # Free lanes of each key's bucket: pick the (eff_rank+1)-th free lane
+        # via a lane cumsum + argmax. (A [n,128] lane argsort here measured
+        # tens of ms at n=512K — it poisoned every step that had >= 1 miss.)
         kh = jnp.take(shard.key_hi, b, axis=0)
         kl = jnp.take(shard.key_lo, b, axis=0)
         free = (kh == hashing.EMPTY_HI) & (kl == hashing.EMPTY_LO)  # [n,128]
-        lane_order = jnp.argsort(~free, axis=1, stable=True)  # free lanes first
-        num_free = free.sum(axis=1).astype(jnp.int32)
+        cum = jnp.cumsum(free.astype(jnp.int32), axis=1)  # [n,128]
+        num_free = cum[:, -1]
         eff_rank = rank + jnp.take(claimed, b)
-        lane = jnp.take_along_axis(
-            lane_order, jnp.clip(eff_rank, 0, LANES - 1)[:, None], axis=1
-        )[:, 0].astype(jnp.int32)
+        islane = free & (cum == jnp.clip(eff_rank + 1, 1, LANES)[:, None])
+        lane = jnp.argmax(islane, axis=1).astype(jnp.int32)
         ok = pending & (eff_rank < num_free)
         fail = pending & ~ok
         slot = jnp.where(ok, b * LANES + lane, slot)
@@ -188,6 +191,50 @@ def plan_insert(spec: TableSpec, shard: TableShard, uh, ul, want) -> InsertPlan:
             state,
         )
     _, slot, cnt, ovf, _ = state
+    return slot, cnt, ovf
+
+
+def plan_insert(spec: TableSpec, shard: TableShard, uh, ul, want) -> InsertPlan:
+    """Assign a free (bucket, lane) to each wanted key. Collision-free within
+    the batch: keys targeting the same bucket get distinct ranks, and ranks
+    index into the bucket's deterministic free-lane order; a per-bucket
+    `claimed` tally keeps later probing rounds consistent with earlier ones.
+
+    Rounds are UNROLLED, each guarded by a lax.cond on whether anything is
+    still pending (while_loop iterations cost ~35 ms of loop machinery on
+    TPU; untaken conds are ~free — the steady-state all-hit step pays
+    nothing here).
+
+    spec.insert_cap bounds ADMITTED inserts per call: pending keys are
+    compacted to that static size, so the planning sorts/gathers run at the
+    cap, not the batch — steady-state steps with a handful of misses stay
+    cheap. Overflowing keys are deferred (slot -1, counted as drops); they
+    simply retry the next time they appear."""
+    n = uh.shape[0]
+    C = spec.insert_cap
+    if C is None or C >= n:
+        slot, cnt, ovf = _plan_insert_impl(spec, shard, uh, ul, want)
+        return InsertPlan(slot=slot, ok=want & (slot >= 0), cnt=cnt, ovf=ovf)
+
+    def taken(args):
+        uh, ul, want = args
+        (cidx,) = jnp.nonzero(want, size=C, fill_value=n)
+        sel = cidx < n
+        ci = jnp.clip(cidx, 0, n - 1)
+        slot_c, cnt, ovf = _plan_insert_impl(
+            spec, shard, jnp.take(uh, ci), jnp.take(ul, ci), sel
+        )
+        slot = jnp.full((n,), -1, jnp.int32).at[
+            jnp.where(sel, ci, n)
+        ].set(slot_c, mode="drop")
+        return slot, cnt, ovf
+
+    slot, cnt, ovf = jax.lax.cond(
+        want.any(),
+        taken,
+        lambda args: (jnp.full((n,), -1, jnp.int32), shard.cnt, shard.ovf),
+        (uh, ul, want),
+    )
     return InsertPlan(slot=slot, ok=want & (slot >= 0), cnt=cnt, ovf=ovf)
 
 
@@ -269,18 +316,39 @@ def scatter_set_values(spec: TableSpec, plane, slot, rows, enabled) -> jax.Array
     """plane[slot] = rows. Row-granular read-modify-write: expand each row
     into its 128-lane window, combine slots sharing a storage row (windows
     are disjoint), merge with the gathered old rows, scatter-SET unique.
-    The obvious element-granular scatter serializes on TPU (~200ns/elem)."""
+    The obvious element-granular scatter serializes on TPU (~200ns/elem).
+    Planes past the stream threshold take the in-place stream-merge SET
+    kernel — XLA's SET double-buffers the whole plane, which cannot fit for
+    >HBM/2 tables (the 100M-row restore path)."""
+    from meepoembedding_tpu.table.stream_merge import (
+        BLOCKR,
+        STREAM_THRESHOLD_BYTES,
+        stream_merge_set,
+    )
+
     n = slot.shape[0]
     s = jnp.clip(slot, 0)
+    big = (
+        plane.size * plane.dtype.itemsize >= STREAM_THRESHOLD_BYTES
+        and plane.shape[0] % BLOCKR == 0
+    )
     if spec.dim > LANES:
         rps = spec.rows_per_slot
         idx = s[:, None] * rps + jnp.arange(rps, dtype=jnp.int32)[None, :]
         idx = jnp.where(enabled[:, None], idx, plane.shape[0]).reshape(-1)
-        return plane.at[idx].set(
-            rows.astype(plane.dtype).reshape(n * rps, LANES),
-            mode="drop",
-            unique_indices=True,
-        )
+        rr = rows.astype(plane.dtype).reshape(n * rps, LANES)
+        if big:
+            return stream_merge_set(plane, idx, rr, jnp.ones_like(rr))
+        return plane.at[idx].set(rr, mode="drop", unique_indices=True)
+    if big:
+        vrow, rowvals = _expand_row_update(spec, slot, rows.astype(jnp.float32))
+        sub = s % spec.pack
+        window = (
+            jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 1) // spec.dim
+        ) == sub[:, None]
+        marks = jnp.where(window, 1.0, 0.0)
+        vrow = jnp.where(enabled, vrow, plane.shape[0])
+        return stream_merge_set(plane, vrow, rowvals, marks)
     from meepoembedding_tpu.table.pallas_ops import combine_rows_by_vrow
 
     vrow, rowvals = _expand_row_update(spec, slot, rows.astype(jnp.float32))

@@ -55,3 +55,26 @@ def test_segment_sum_matches_dense():
     for i, j in enumerate([0, 1, 0, 2, 2, 2]):
         expect[j] += np.arange(18).reshape(6, 3)[i]
     np.testing.assert_allclose(np.asarray(out), expect)
+
+
+def test_disjoint_combine_negative_zero_exact():
+    """-0.0 contributors (x * 0.0 masking) are bitwise 0x80000000 and must
+    NOT pollute another contributor's sign byte in the disjoint byte-plane
+    combine (r2 regression: a masked-row -0.0 flipped co-row signs)."""
+    import jax.numpy as jnp
+
+    from meepoembedding_tpu.ops.dedup import sorted_run_sums
+
+    ks = jnp.asarray(np.array([5, 5, 9], np.int32))
+    vs = np.zeros((3, 4), np.float32)
+    vs[0, 0] = -0.75  # row A owns column 0
+    vs[1, 0] = -0.0  # row B's masked-out lane: negative zero
+    vs[1, 1] = 2.5  # row B owns column 1
+    vs[2, 2] = -1.0
+    _, tot, _ = sorted_run_sums(ks, jnp.asarray(vs), disjoint=True)
+    np.testing.assert_array_equal(
+        np.asarray(tot[0]), np.array([-0.75, 2.5, 0.0, 0.0], np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tot[1]), np.array([0.0, 0.0, -1.0, 0.0], np.float32)
+    )

@@ -1,10 +1,16 @@
-"""Stream-merge scatter-add kernel tests (interpret mode, SURVEY.md §4.2)."""
+"""Stream-merge scatter-add/set kernel tests (interpret mode, SURVEY.md §4.2)."""
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from meepoembedding_tpu.table.stream_merge import BLOCKR, MAXU, stream_merge_add
+from meepoembedding_tpu.table.stream_merge import (
+    BLOCKR,
+    MAXU,
+    STRIDE,
+    stream_merge_add,
+    stream_merge_set,
+)
 
 
 def _check(R, vrow, upd, rng):
@@ -76,6 +82,99 @@ def test_small_plane_fallback(rng):
     vrow = rng.choice(R, size=30, replace=False).astype(np.int32)
     upd = rng.normal(size=(30, 128)).astype(np.float32)
     _check(R, vrow, upd, rng)
+
+
+def test_bf16_plane_add(rng):
+    """bf16 planes (the 100M-row config's dtype): aligned window DMAs +
+    f32 accumulate in the kernel."""
+    R = 4 * BLOCKR
+    m = MAXU + 100
+    plane = (rng.normal(size=(R, 128)) * 0.1).astype(np.float32)
+    plane_bf = jnp.asarray(plane).astype(jnp.bfloat16)
+    vrow = rng.integers(0, R, size=m).astype(np.int32)
+    upd = rng.normal(size=(m, 128)).astype(np.float32)
+    expect = np.array(plane_bf.astype(jnp.float32))  # copy; plane is donated
+    got = stream_merge_add(
+        plane_bf, jnp.asarray(vrow), jnp.asarray(upd), interpret=True
+    )
+    # reference: group adds in f32 then one bf16 add per row (the kernel sums
+    # each window in f32 on the MXU; cross-window splits only widen the loose
+    # tolerance below)
+    acc = {}
+    for j, r in enumerate(vrow):
+        acc.setdefault(int(r), np.zeros(128, np.float32))
+        acc[int(r)] += upd[j]
+    for r, a in acc.items():
+        expect[r] = np.asarray(
+            (jnp.asarray(expect[r]).astype(jnp.bfloat16)
+             + jnp.asarray(a).astype(jnp.bfloat16)).astype(jnp.float32)
+        )
+    np.testing.assert_allclose(
+        np.asarray(got.astype(jnp.float32)), expect, rtol=2e-2, atol=2e-2
+    )
+
+
+class TestStreamMergeSet:
+    def _check_set(self, R, vrow, upd, mask, rng, dtype=np.float32):
+        plane = rng.normal(size=(R, 128)).astype(dtype)
+        expect = plane.copy()
+        for j, r in enumerate(vrow):
+            if 0 <= r < R:
+                expect[r] = np.where(mask[j] > 0, upd[j], expect[r])
+        got = stream_merge_set(
+            jnp.asarray(plane), jnp.asarray(vrow, jnp.int32), jnp.asarray(upd),
+            jnp.asarray(mask), interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-6, atol=1e-6)
+
+    def test_sparse_masked_set(self, rng):
+        R = 4 * BLOCKR
+        m = 200
+        vrow = rng.choice(R, size=m, replace=False).astype(np.int32)
+        upd = rng.normal(size=(m, 128)).astype(np.float32)
+        mask = (rng.random((m, 128)) < 0.5).astype(np.float32)
+        self._check_set(R, vrow, upd * mask, mask, rng)
+
+    def test_disjoint_lane_duplicates(self, rng):
+        """Two slots of the same storage row with disjoint windows: the
+        one-hot dot must union masks and values."""
+        R = 4 * BLOCKR
+        vrow = np.array([9, 9, 700, 700], np.int32)
+        mask = np.zeros((4, 128), np.float32)
+        mask[0, :64] = 1
+        mask[1, 64:] = 1
+        mask[2, :32] = 1
+        mask[3, 96:] = 1
+        upd = rng.normal(size=(4, 128)).astype(np.float32) * mask
+        self._check_set(R, vrow, upd, mask, rng)
+
+    def test_dense_window_overflow_set(self, rng):
+        R = 4 * BLOCKR
+        m = MAXU + 2 * STRIDE + 3
+        vrow = rng.choice(BLOCKR, size=min(m, BLOCKR), replace=False)[:m]
+        m = len(vrow)
+        upd = rng.normal(size=(m, 128)).astype(np.float32)
+        mask = np.ones((m, 128), np.float32)
+        self._check_set(R, vrow.astype(np.int32), upd, mask, rng)
+
+    def test_dropped_and_small_plane(self, rng):
+        vrow = np.array([-1, 5, 300, 5, 2**30], np.int32)
+        upd = rng.normal(size=(5, 128)).astype(np.float32)
+        mask = np.zeros((5, 128), np.float32)
+        mask[1, :64] = 1
+        mask[3, 64:] = 1  # same row 5, disjoint lanes
+        upd = upd * mask
+        R = 256  # XLA fallback path
+        plane = rng.normal(size=(R, 128)).astype(np.float32)
+        expect = plane.copy()
+        for j, r in enumerate(vrow):
+            if 0 <= r < R:
+                expect[r] = np.where(mask[j] > 0, upd[j], expect[r])
+        got = stream_merge_set(
+            jnp.asarray(plane), jnp.asarray(vrow), jnp.asarray(upd),
+            jnp.asarray(mask), interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), expect, atol=1e-6)
 
 
 @pytest.mark.slow

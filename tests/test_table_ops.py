@@ -134,11 +134,34 @@ class TestWindowExactness:
         got = np.asarray(xla_ops.lookup_rows(spec, shard, pr.slot))
         np.testing.assert_array_equal(got, rows)
 
-    def test_evict_restores_exact_zero(self, rng):
-        """Evicting every row must return values planes to exact zeros (the
-        ADD-form write invariant); bf16-rounded window matmuls leave residue."""
+    def test_bf16_insert_gather_roundtrip(self, rng):
+        """bf16 value planes: stored rows are the bf16 rounding of the input,
+        and gather returns them bit-exactly (VERDICT r1 weak-#4)."""
+        spec = make_spec(dim=16, nb=8, value_dtype="bfloat16")
+        shard = alloc_shard(spec)
+        assert shard.values.dtype == jnp.bfloat16
+        ids = np.unique(_ids(rng, 64))
+        n = len(ids)
+        hi, lo = hashing.split_ids(ids)
+        rows = rng.normal(size=(n, 16)).astype(np.float32)
+        valid = jnp.ones((n,), bool)
+        shard, ok = jax.jit(xla_ops.insert_rows, static_argnums=(0,))(
+            spec, shard, jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(rows),
+            valid, jnp.int32(0),
+        )
+        assert np.asarray(ok).all()
+        pr = jax.jit(xla_ops.probe, static_argnums=(0,))(
+            spec, shard, jnp.asarray(hi), jnp.asarray(lo), valid
+        )
+        got = np.asarray(xla_ops.lookup_rows(spec, shard, pr.slot).astype(jnp.float32))
+        expect = np.asarray(jnp.asarray(rows).astype(jnp.bfloat16).astype(jnp.float32))
+        np.testing.assert_array_equal(got, expect)
+
+    @pytest.mark.parametrize("vdtype", ["float32", "bfloat16"])
+    def test_evict_restores_exact_zero_dtypes(self, rng, vdtype):
         spec = make_spec(
-            dim=8, nb=4, policy=PolicyConfig(evict_policy="ttl", ttl_steps=0)
+            dim=8, nb=4, value_dtype=vdtype,
+            policy=PolicyConfig(evict_policy="ttl", ttl_steps=0),
         )
         shard = alloc_shard(spec)
         ids = np.unique(_ids(rng, 64))
@@ -153,8 +176,9 @@ class TestWindowExactness:
             spec, shard, jnp.int32(10**6)
         )
         assert int(export.count) == int(np.asarray(ok).sum())
-        assert np.abs(np.asarray(shard.values)).max() == 0.0
+        assert np.abs(np.asarray(shard.values.astype(jnp.float32))).max() == 0.0
         assert int(jnp.sum(shard.cnt)) == 0
+
 
 
 class TestProbeChains:
@@ -196,3 +220,27 @@ class TestOracleParity:
         assert len(table) == len(oracle)
         c = table.counters()
         assert c["hits"] == oracle.hits and c["misses"] == oracle.misses
+
+    @pytest.mark.parametrize("dim", [8, 256])
+    def test_bf16_table_tracks_oracle(self, rng, dim):
+        """bf16 value planes follow the f64 oracle within bf16 rounding
+        accumulation (VERDICT r1 #8)."""
+        cfg = TableConfig(
+            dim=dim,
+            capacity=128 * 64,
+            optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.1),
+            initializer_scale=0.02,
+            value_dtype="bfloat16",
+        )
+        table = DynamicEmbeddingTable(cfg)
+        oracle = OracleTable(dim, 0.02, cfg.optimizer)
+        pool = _ids(rng, 50)
+        for step in range(5):
+            ids = rng.choice(pool, size=40)
+            rows_dev = np.asarray(table.lookup(ids).astype(jnp.float32))
+            rows_ora = oracle.lookup(ids, step=step)
+            np.testing.assert_allclose(rows_dev, rows_ora, atol=2e-2)
+            grads = rng.normal(size=(40, dim)).astype(np.float32)
+            table.apply_grads(jnp.asarray(grads))
+            oracle.apply_grads(ids, grads)
+        assert len(table) == len(oracle)
