@@ -109,6 +109,8 @@ def main():
             ids = np.concatenate([ids, np.full(prefill_batch - n, hashing.EMPTY_ID)])
         hi, lo = hashing.split_ids(ids)
         shard = prefill_step(shard, jnp.asarray(hi), jnp.asarray(lo), jnp.int32(0))
+        if (i // prefill_batch) % 4 == 3:
+            float(shard.counters[0])  # real fetch barrier: cap in-flight work
     jax.block_until_ready(shard.values)
     log(f"prefill {n_live} rows in {time.perf_counter()-t0:.1f}s, "
         f"load={float(jnp.sum(shard.cnt))/spec.capacity:.3f}")
@@ -190,6 +192,14 @@ def main():
     # single shared host core suffers occasional multi-100ms stalls which can
     # only inflate a window, so the best window is the honest reading.
     windows = []
+    # cap dispatch depth: overlapping transients of many in-flight steps
+    # exhaust HBM on big tables. The barrier must be a HOST FETCH — over a
+    # tunneled device, block_until_ready returns at dispatch, NOT completion
+    # (measured; it silently removed the depth cap and let dozens of steps'
+    # transients pile up, producing flaky InvalidArgument at >8 GB tables).
+    # The fetch of step i-d overlaps the d in-flight steps, so its ~30 ms
+    # tunnel latency stays off the critical path.
+    d = int(os.environ.get("MEEPO_BENCH_DEPTH", 2))
     for _w in range(3):
         t0 = time.perf_counter()
         accs = []
@@ -197,12 +207,9 @@ def main():
             shard, acc, ucnt = train_cycle(shard, h, l, gseed, jnp.int32(2 + i))
             accs.append(acc)
             last_ucnt = ucnt
-            # cap dispatch depth: overlapping transients of many in-flight
-            # steps exhaust HBM on big tables (sync depth via env, default 2)
-            d = int(os.environ.get("MEEPO_BENCH_DEPTH", 2))
             if i >= d:
-                jax.block_until_ready(accs[i - d])
-        jax.block_until_ready(accs[-1])
+                float(accs[i - d])
+        float(accs[-1])
         windows.append((time.perf_counter() - t0) / steps)
     dt = min(windows)
     assert ucap >= batch or int(last_ucnt) < ucap, (
@@ -235,9 +242,13 @@ def main():
     windows = []
     for _w in range(3):
         t0 = time.perf_counter()
-        for s in slots:
+        accs = []
+        for i, s in enumerate(slots):
             values, acc = static_cycle(values, s, gseed)
-        jax.block_until_ready(acc)
+            accs.append(acc)
+            if i >= d:
+                float(accs[i - d])  # real fetch barrier (see dynamic loop)
+        float(accs[-1])
         windows.append((time.perf_counter() - t0) / steps)
     dt_sol = min(windows)
     sol_ids_per_sec = batch / dt_sol

@@ -92,6 +92,12 @@ class TableConfig:
     # (counted as drops). None = unbounded. A small cap (e.g. 1<<15) keeps
     # steps with a few misses from paying batch-sized insert planning.
     insert_cap: Optional[int] = None
+    # Online growth (SURVEY.md C11 "handles growth/rehash"): when the live
+    # row count would exceed this load fraction, the single-device table
+    # DOUBLES capacity and rehashes every live row (with full optimizer/score
+    # state) into the new geometry BEFORE admitting the batch — a mis-sized
+    # initial capacity never becomes a permanent drop. None = fixed capacity.
+    grow_at_load: Optional[float] = None
     value_dtype: str = "float32"
     optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
     policy: PolicyConfig = dataclasses.field(default_factory=PolicyConfig)

@@ -117,3 +117,44 @@ def write_synthetic_criteo(path: str, num_lines: int, seed: int = 0):
                 for _ in range(NUM_SPARSE)
             ]
             fh.write("\t".join([str(label)] + dense + cats) + "\n")
+
+
+def write_synthetic_criteo_signal(
+    path: str,
+    num_lines: int,
+    seed: int = 0,
+    vocab_per_feature: int = 20000,
+    zipf_s: float = 1.05,
+    signal_scale: float = 0.9,
+):
+    """Criteo-format stream WITH a planted CTR signal (for the AUC-parity
+    gate, BASELINE.json): each (feature, token) carries a hidden weight;
+    label ~ Bernoulli(sigmoid(bias + mean of token weights + dense term)).
+    Tokens are drawn Zipf(s) per feature — the realistic head-heavy reuse.
+    Chunked + vectorized so millions of lines generate in seconds."""
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=(NUM_SPARSE, vocab_per_feature)).astype(np.float32)
+    w *= signal_scale
+    wd = rng.normal(size=(NUM_DENSE,)).astype(np.float32) * 0.1
+    t = 1.0 - zipf_s
+    with open(path, "w") as fh:
+        for o in range(0, num_lines, 65536):
+            n = min(65536, num_lines - o)
+            u = rng.random((n, NUM_SPARSE))
+            tok = (
+                ((float(vocab_per_feature) ** t - 1.0) * u + 1.0) ** (1.0 / t)
+            ).astype(np.int64)
+            tok = np.minimum(tok, vocab_per_feature) - 1  # [n, 26]
+            dense = rng.integers(0, 100, size=(n, NUM_DENSE))
+            logit = (
+                w[np.arange(NUM_SPARSE)[None, :], tok].mean(axis=1)
+                + np.log1p(dense) @ wd
+                - 1.0
+            )
+            label = (rng.random(n) < 1.0 / (1.0 + np.exp(-logit))).astype(int)
+            lines = []
+            for j in range(n):
+                cats = [f"{int(x):08x}" for x in tok[j]]
+                ints = [str(int(x)) for x in dense[j]]
+                lines.append("\t".join([str(label[j])] + ints + cats))
+            fh.write("\n".join(lines) + "\n")

@@ -108,35 +108,36 @@ def unique_pairs(hi: jax.Array, lo: jax.Array, size: int) -> Unique:
     and three serialized 1-D gathers); the inverse permutation comes from a
     unique-index 1-D scatter instead of a second argsort."""
     n = hi.shape[0]
-    # Bias keys for unsigned comparison of two's-complement halves; invalid
-    # ids sort LAST so truncation under overflow drops them first.
-    inval = ~hashing.is_valid(hi, lo)
-    bh = hi.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
-    bh = jnp.where(inval, jnp.uint32(0xFFFFFFFF), bh)
-    bl = lo.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
-    iota = jnp.arange(n, dtype=jnp.int32)
-    sbh, sbl, order, sh, sl = jax.lax.sort(
-        (bh, bl, iota, hi, lo), num_keys=2, is_stable=True
-    )
-    is_new = jnp.concatenate(
-        [jnp.ones((1,), bool), (sbh[1:] != sbh[:-1]) | (sbl[1:] != sbl[:-1])]
-    )
-    gid0 = jnp.cumsum(is_new).astype(jnp.int32) - 1  # [n] group id in sorted order
-    gid = jnp.minimum(gid0, size - 1)  # overflow aliases the last slot
-    # inverse[order[j]] = gid[j]: one unique-index 1-D scatter
-    inverse = jnp.zeros((n,), jnp.int32).at[order].set(gid, unique_indices=True)
-    # write each group's key at its first occurrence only (unique indices;
-    # overflow groups beyond `size` are dropped, not aliased-by-UB)
-    first_idx = jnp.where(is_new & (gid0 < size), gid0, size)
-    uh = jnp.full((size,), hashing.EMPTY_HI, jnp.int32).at[first_idx].set(
-        sh, mode="drop", unique_indices=True
-    )
-    ul = jnp.full((size,), hashing.EMPTY_LO, jnp.int32).at[first_idx].set(
-        sl, mode="drop", unique_indices=True
-    )
-    valid = hashing.is_valid(uh, ul)
-    count = jnp.sum(valid).astype(jnp.int32)
-    return Unique(hi=uh, lo=ul, inverse=inverse, valid=valid, count=count)
+    with jax.named_scope("meepo.dedup"):
+        # Bias keys for unsigned comparison of two's-complement halves;
+        # invalid ids sort LAST so truncation under overflow drops them first.
+        inval = ~hashing.is_valid(hi, lo)
+        bh = hi.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
+        bh = jnp.where(inval, jnp.uint32(0xFFFFFFFF), bh)
+        bl = lo.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        sbh, sbl, order, sh, sl = jax.lax.sort(
+            (bh, bl, iota, hi, lo), num_keys=2, is_stable=True
+        )
+        is_new = jnp.concatenate(
+            [jnp.ones((1,), bool), (sbh[1:] != sbh[:-1]) | (sbl[1:] != sbl[:-1])]
+        )
+        gid0 = jnp.cumsum(is_new).astype(jnp.int32) - 1  # group id, sorted order
+        gid = jnp.minimum(gid0, size - 1)  # overflow aliases the last slot
+        # inverse[order[j]] = gid[j]: one unique-index 1-D scatter
+        inverse = jnp.zeros((n,), jnp.int32).at[order].set(gid, unique_indices=True)
+        # write each group's key at its first occurrence only (unique indices;
+        # overflow groups beyond `size` are dropped, not aliased-by-UB)
+        first_idx = jnp.where(is_new & (gid0 < size), gid0, size)
+        uh = jnp.full((size,), hashing.EMPTY_HI, jnp.int32).at[first_idx].set(
+            sh, mode="drop", unique_indices=True
+        )
+        ul = jnp.full((size,), hashing.EMPTY_LO, jnp.int32).at[first_idx].set(
+            sl, mode="drop", unique_indices=True
+        )
+        valid = hashing.is_valid(uh, ul)
+        count = jnp.sum(valid).astype(jnp.int32)
+        return Unique(hi=uh, lo=ul, inverse=inverse, valid=valid, count=count)
 
 
 def segment_sum_grads(grads: jax.Array, inverse: jax.Array, num_unique: int) -> jax.Array:

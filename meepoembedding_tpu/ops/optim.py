@@ -64,19 +64,22 @@ def apply_sparse_grads_ctx(
     from meepoembedding_tpu.table.stream_merge import values_scatter_add
 
     if opt.kind == "sgd":
-        delta = init_add - opt.learning_rate * gwin
-        values = values_scatter_add(shard.values, vrow, delta)
+        with jax.named_scope("meepo.values_update"):
+            delta = init_add - opt.learning_rate * gwin
+            values = values_scatter_add(shard.values, vrow, delta)
         return shard._replace(values=values)
     if opt.kind == "rowwise_adagrad":
         (accum_plane,) = shard.opt_rowwise
-        a_old = gather_bucket_plane(accum_plane, slot)  # fresh slots -> 0
-        g2 = jnp.sum(gwin * gwin, axis=1) / spec.dim
-        acc_add = g2 + jnp.where(fresh, jnp.float32(opt.initial_accumulator), 0.0)
-        a_new = a_old + acc_add
-        accum_plane = scatter_add_bucket_plane(accum_plane, slot, acc_add, enabled)
-        scale = opt.learning_rate * jax.lax.rsqrt(a_new + opt.eps)
-        delta = init_add - scale[:, None] * gwin
-        values = values_scatter_add(shard.values, vrow, delta)
+        with jax.named_scope("meepo.accum_update"):
+            a_old = gather_bucket_plane(accum_plane, slot)  # fresh slots -> 0
+            g2 = jnp.sum(gwin * gwin, axis=1) / spec.dim
+            acc_add = g2 + jnp.where(fresh, jnp.float32(opt.initial_accumulator), 0.0)
+            a_new = a_old + acc_add
+            accum_plane = scatter_add_bucket_plane(accum_plane, slot, acc_add, enabled)
+        with jax.named_scope("meepo.values_update"):
+            scale = opt.learning_rate * jax.lax.rsqrt(a_new + opt.eps)
+            delta = init_add - scale[:, None] * gwin
+            values = values_scatter_add(shard.values, vrow, delta)
         return shard._replace(values=values, opt_rowwise=(accum_plane,))
     # fallback (adagrad/adam): write fresh inits, then the generic path.
     # Fresh full-dim slots are zero by the alloc invariant; fresh rowwise

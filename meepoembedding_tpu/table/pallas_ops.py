@@ -26,6 +26,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -280,7 +281,9 @@ def row_scatter_set(plane, idx, upd, mask, interpret: bool = None) -> jax.Array:
 
 # --- helper: make storage-row updates unique ---------------------------------
 
-_SENT = jnp.int32(2**31 - 1)
+# numpy, NOT jnp: a module-level jax Array constant can be hoisted as a
+# leading program parameter ahead of donated buffers (see stream_merge._SENT)
+_SENT = np.int32(2**31 - 1)
 
 
 def combine_rows_by_vrow(vrow: jax.Array, rowupd: jax.Array, enabled: jax.Array):

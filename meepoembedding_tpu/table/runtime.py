@@ -98,10 +98,11 @@ def _evict(spec, shard, step):
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-def _insert(spec, shard, hi, lo, rows, valid, step, freq, accum, fulldim=()):
+def _insert(spec, shard, hi, lo, rows, valid, step, freq, accum, fulldim=(),
+            last=None):
     return xla_ops.insert_rows(
         spec, shard, hi, lo, rows, valid, step, freq, accum,
-        fulldim=fulldim if fulldim else None,
+        fulldim=fulldim if fulldim else None, last=last,
     )
 
 
@@ -134,13 +135,73 @@ class DynamicEmbeddingTable:
             )
             self._promoter = PromotionEngine(self._codec, spill)
 
+    # --- online growth (SURVEY.md C11/M1: grow by rehash-into-bigger) -------
+    def _maybe_grow(self, incoming: int) -> None:
+        """Double capacity until the incoming batch fits under the growth
+        load threshold. Pessimistic (counts every incoming id as a potential
+        insert), so a burst of new ids can never be dropped for capacity."""
+        if self.cfg.grow_at_load is None:
+            return
+        while (len(self) + incoming) > self.cfg.grow_at_load * self.spec.capacity:
+            self._grow()
+
+    def _grow(self) -> None:
+        """Rehash every live row (values + freq/last + optimizer slots) into
+        a table of twice the capacity. Host-streamed restore-style reinsert;
+        peak memory is old + new shard for the duration of the copy."""
+        import dataclasses
+
+        from meepoembedding_tpu import checkpoint
+
+        old_spec, old_shard = self.spec, self.shard
+        self.cfg = dataclasses.replace(self.cfg, capacity=old_spec.capacity * 2)
+        self.spec = TableSpec.from_config(self.cfg, num_shards=1)
+        new_shard = alloc_shard(self.spec)
+        # carry cumulative counters (growth is not an event reset)
+        new_shard = new_shard._replace(counters=old_shard.counters)
+        arrs = checkpoint.export_shard_arrays(old_spec, old_shard)
+        del old_shard
+        n = arrs["ids"].shape[0]
+        n_full = self.spec.optimizer.num_fulldim_slots()
+        b = 1 << 14
+        for o in range(0, n, b):
+            sl = slice(o, min(n, o + b))
+            cnt = sl.stop - sl.start
+            pad = b - cnt
+
+            def pick(a, fill=0):
+                x = a[sl]
+                if pad:
+                    x = np.concatenate(
+                        [x, np.full((pad,) + x.shape[1:], fill, x.dtype)]
+                    )
+                return jnp.asarray(x)
+
+            hi_np, lo_np = hashing.split_ids(arrs["ids"][sl])
+            if pad:
+                hi_np = np.concatenate([hi_np, np.full(pad, hashing.EMPTY_HI, np.int32)])
+                lo_np = np.concatenate([lo_np, np.full(pad, hashing.EMPTY_LO, np.int32)])
+            valid = jnp.arange(b) < cnt
+            new_shard, _ok = _insert(
+                self.spec, new_shard, jnp.asarray(hi_np), jnp.asarray(lo_np),
+                pick(arrs["values"]), valid, jnp.int32(self.step),
+                pick(arrs["freq"]),
+                pick(arrs["accum"]) if "accum" in arrs else None,
+                tuple(pick(arrs[f"full{j}"]) for j in range(n_full)),
+                pick(arrs["last"]),
+            )
+        self.shard = new_shard
+
     # --- host-facing API ---------------------------------------------------
     def lookup(self, ids64: np.ndarray, train: bool = True) -> jax.Array:
         """[n] int64 ids -> [n, dim] rows. train=True inserts on miss; with a
-        spill tier, cold-tier hits promote back asynchronously (§3.4)."""
+        spill tier, cold-tier hits promote back asynchronously (§3.4). With
+        cfg.grow_at_load set, the table grows by rehash before a batch that
+        could overflow it (SURVEY.md C11)."""
         hi, lo = hashing.split_ids(ids64)
         hi, lo = jnp.asarray(hi), jnp.asarray(lo)
         if train:
+            self._maybe_grow(len(ids64))
             self._apply_promotions()
             self.shard, rows, slot, inverse, miss_info = _lookup_train(
                 self.spec, self.shard, hi, lo, jnp.int32(self.step)

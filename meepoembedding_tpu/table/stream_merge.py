@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -37,7 +38,14 @@ ALIGN = 8  # window DMA starts must sit on the HBM sublane tiling (bf16
 # so windows advance by MAXU-ALIGN updates, are READ from the aligned-down
 # start, and the kernel masks each window to its exact [off, off+stride) rows
 STRIDE = MAXU - ALIGN
-_SENT = jnp.int32(2**30)  # uvrow sentinel: matches no block
+# uvrow sentinel: matches no block. MUST be a numpy scalar, NOT jnp: a
+# module-level jax Array is a committed device constant, and depending on
+# import/trace order jax hoists it as a LEADING program parameter — in front
+# of the donated/aliased table planes — which broke the runtime's buffer
+# donation for the whole composed train step (flaky InvalidArgument at every
+# big-table config; r1's "67M-row ghost"). A numpy scalar always inlines as
+# a literal.
+_SENT = np.int32(2**30)
 
 
 DEPTH = 3  # buffer-ring depth: reads for i+1 overlap compute(i) AND the
@@ -533,7 +541,9 @@ def stream_merge_add(plane, vrow, upd, interpret: bool = None) -> jax.Array:
 # OPEN ISSUE: the FULL 67M-row train_cycle still dies with a TPU
 # InvalidArgument even though every isolated piece passes — suspect
 # transient-memory interplay; tracked for the next round.
-STREAM_THRESHOLD_BYTES = 6 << 30
+STREAM_THRESHOLD_BYTES = int(
+    __import__("os").environ.get("MEEPO_STREAM_THRESHOLD", 6 << 30)
+)
 
 
 def values_scatter_add(plane, vrow, upd) -> jax.Array:

@@ -562,19 +562,25 @@ def lookup_train(
     insert block there is no conditional pass-through of big planes either
     (~10 ms of select/mul per step). Side planes ([nb,128]) are small, so
     their unconditional ADD-scatter passes are cheap."""
-    pr = probe(spec, shard, uh, ul, valid)
+    with jax.named_scope("meepo.probe"):
+        pr = probe(spec, shard, uh, ul, valid)
     miss = valid & ~pr.found
-    cms, admit = cms_admit(spec, shard.cms, uh, ul, miss)
-    plan = plan_insert(spec, shard, uh, ul, admit)
+    with jax.named_scope("meepo.admit"):
+        cms, admit = cms_admit(spec, shard.cms, uh, ul, miss)
+    with jax.named_scope("meepo.plan_insert"):
+        plan = plan_insert(spec, shard, uh, ul, admit)
     slot = jnp.where(pr.found, pr.slot, plan.slot)
     fresh = plan.ok
 
     # window rows: gather found keys' rows from the PRE-write values plane;
     # fresh keys take their initializer window (never materialized in HBM)
-    g128, sub = lookup_rows128(spec, shard, slot)
-    init_rows = hashing.default_rows(uh, ul, spec.dim, spec.initializer_scale, spec.dtype)
-    init_win = window_place(spec, init_rows, sub)
-    g128 = jnp.where(fresh[:, None], init_win.astype(g128.dtype), g128)
+    with jax.named_scope("meepo.gather"):
+        g128, sub = lookup_rows128(spec, shard, slot)
+        init_rows = hashing.default_rows(
+            uh, ul, spec.dim, spec.initializer_scale, spec.dtype
+        )
+        init_win = window_place(spec, init_rows, sub)
+        g128 = jnp.where(fresh[:, None], init_win.astype(g128.dtype), g128)
 
     # Side-plane writes (exact ADDs over zeroed free slots). Each [nb,128]
     # scatter materializes its full plane (~6 ms at 2^25 capacity), so the
@@ -592,12 +598,13 @@ def lookup_train(
         last = scatter_add_bucket_plane(last, slot, jnp.full_like(uh, step), fr)
         return key_hi, key_lo, freq, last
 
-    key_hi, key_lo, freq, last = jax.lax.cond(
-        fresh.any(),
-        do_fresh_writes,
-        lambda planes: planes,
-        (shard.key_hi, shard.key_lo, shard.freq, shard.last),
-    )
+    with jax.named_scope("meepo.side_writes"):
+        key_hi, key_lo, freq, last = jax.lax.cond(
+            fresh.any(),
+            do_fresh_writes,
+            lambda planes: planes,
+            (shard.key_hi, shard.key_lo, shard.freq, shard.last),
+        )
     if spec.policy.needs_scores:
         # score upkeep touches FOUND keys every step: unconditional
         touched = fresh | pr.found

@@ -221,6 +221,41 @@ class TestOracleParity:
         c = table.counters()
         assert c["hits"] == oracle.hits and c["misses"] == oracle.misses
 
+    def test_online_growth_by_rehash(self, rng):
+        """VERDICT r1 #4 (SURVEY C11/M1): start at 2^10 capacity, insert 10x
+        that many unique ids while training — the table grows by rehash, no
+        id is ever dropped, and device state tracks the oracle throughout."""
+        dim = 8
+        cfg = TableConfig(
+            dim=dim,
+            capacity=1 << 10,
+            optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.1),
+            initializer_scale=0.02,
+            grow_at_load=0.8,
+        )
+        table = DynamicEmbeddingTable(cfg)
+        oracle = OracleTable(dim, 0.02, cfg.optimizer)
+        total = 10 * (1 << 10)
+        all_ids = rng.permutation(np.arange(1, total + 1, dtype=np.int64) * 7919)
+        step = 0
+        for o in range(0, total, 512):
+            fresh = all_ids[o : o + 512]
+            seen = all_ids[: o + 512]
+            ids = np.concatenate(
+                [fresh, rng.choice(seen, size=128)]  # new ids + re-touches
+            )
+            rows_dev = np.asarray(table.lookup(ids))
+            rows_ora = oracle.lookup(ids, step=step)
+            np.testing.assert_allclose(rows_dev, rows_ora, atol=5e-5)
+            grads = rng.normal(size=(len(ids), dim)).astype(np.float32)
+            table.apply_grads(jnp.asarray(grads))
+            oracle.apply_grads(ids, grads)
+            step += 1
+        assert len(table) == len(oracle) == total
+        assert table.spec.capacity >= total  # grew from 1024
+        c = table.counters()
+        assert c["drops"] == 0, f"ids dropped despite growth: {c['drops']}"
+
     @pytest.mark.parametrize("dim", [8, 256])
     def test_bf16_table_tracks_oracle(self, rng, dim):
         """bf16 value planes follow the f64 oracle within bf16 rounding
