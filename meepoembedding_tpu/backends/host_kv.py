@@ -40,12 +40,19 @@ def _build_and_load() -> ctypes.CDLL:
         src = os.path.join(root, "csrc", "host_kv.cc")
         outdir = os.path.join(root, "_native")
         os.makedirs(outdir, exist_ok=True)
-        so = os.path.join(outdir, "libhostkv.so")
+        # MEEPO_SANITIZE=1 builds the tier with ASan+UBSan (SURVEY.md §5
+        # race/sanitizer CI config); the sanitized .so is kept separate so a
+        # normal run never pays sanitizer overhead.
+        san = os.environ.get("MEEPO_SANITIZE") == "1"
+        so = os.path.join(outdir, "libhostkv_asan.so" if san else "libhostkv.so")
         if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
             cmd = [
                 "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
                 "-march=native", "-pthread", src, "-o", so + ".tmp",
             ]
+            if san:
+                cmd[1:1] = ["-g", "-fsanitize=address,undefined",
+                            "-fno-omit-frame-pointer"]
             try:
                 subprocess.run(cmd, check=True, capture_output=True, timeout=120)
                 os.replace(so + ".tmp", so)

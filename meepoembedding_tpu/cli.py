@@ -347,29 +347,17 @@ def cmd_serve(args) -> int:
     """Batch scoring from a checkpoint (the serving half of README.md:2's
     'recommendation, search, CTR and advertising systems'): restore the
     table + tower, stream batches, emit one JSON line of predictions per
-    batch. Lookups are train=False (no insert-on-miss; unknown ids score
-    with zero embeddings)."""
+    batch plus end-of-run latency stats (p50/p95/p99 per batch). Lookups
+    are train=False (no insert-on-miss; unknown ids score with zero
+    embeddings). --distributed restores the table row-sharded over ALL
+    local devices and serves through the all-to-all exchange path."""
     import jax
+    import jax.numpy as jnp
 
     run_cfg, table_cfg, model_cfg = load_configs(args.config, args.set)
     model_cfg = dataclasses.replace(model_cfg, embedding_dim=table_cfg.dim)
     from meepoembedding_tpu import checkpoint
     from meepoembedding_tpu.models import build_model
-    from meepoembedding_tpu.table.runtime import DynamicEmbeddingTable
-
-    table = DynamicEmbeddingTable(table_cfg)
-    manifest = table.load(args.ckpt)
-    model = build_model(model_cfg)
-    params = model.init(jax.random.PRNGKey(0))
-    if "params" in manifest.get("dense", []):
-        params = checkpoint.load_dense(args.ckpt, "params", params)
-
-    import jax.numpy as jnp
-
-    @jax.jit
-    def score(shard, params, dense, rows):
-        emb = rows.reshape(dense.shape[0], model_cfg.num_sparse_features, table_cfg.dim)
-        return jax.nn.sigmoid(model.apply(params, dense, emb))
 
     if args.data == "synthetic":
         from meepoembedding_tpu.data.synthetic import SyntheticConfig, SyntheticStream
@@ -385,14 +373,71 @@ def cmd_serve(args) -> int:
 
         stream = CriteoStream(args.data.split(","), batch_size=run_cfg.batch_size)
 
-    for i, batch in enumerate(stream.batches(run_cfg.steps)):
-        rows = table.lookup(batch["ids"].reshape(-1), train=False)
-        p = score(table.shard, params, jnp.asarray(batch["dense"]), rows)
-        print(json.dumps({
-            "batch": i,
-            "mean_score": float(jnp.mean(p)),
-            "scores": np.asarray(p[: args.emit]).round(6).tolist(),
-        }))
+    lat_ms = []
+    if getattr(args, "distributed", False) and jax.device_count() > 1:
+        # sharded serving: elastic-restore onto the local mesh, score via the
+        # eval exchange (probe-only lookups, rows ride the a2a back)
+        from meepoembedding_tpu.parallel.trainer import ShardedTrainer
+
+        tr = ShardedTrainer(run_cfg, table_cfg, model_cfg)
+        tr.load_checkpoint(args.ckpt)
+        for i, batch in enumerate(stream.batches(run_cfg.steps)):
+            t0 = time.perf_counter()
+            out = tr.eval_step(batch)
+            p = jax.nn.sigmoid(np.concatenate([
+                np.asarray(s.data) for s in sorted(
+                    out["logits"].addressable_shards,
+                    key=lambda s: s.index[0].start or 0,
+                )
+            ]))
+            lat_ms.append((time.perf_counter() - t0) * 1e3)
+            print(json.dumps({
+                "batch": i,
+                "mean_score": float(np.mean(p)),
+                "scores": np.asarray(p[: args.emit]).round(6).tolist(),
+            }))
+    else:
+        from meepoembedding_tpu.table.runtime import DynamicEmbeddingTable
+
+        table = DynamicEmbeddingTable(table_cfg)
+        manifest = table.load(args.ckpt)
+        model = build_model(model_cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        if "params" in manifest.get("dense", []):
+            params = checkpoint.load_dense(args.ckpt, "params", params)
+
+        @jax.jit
+        def score(shard, params, dense, rows):
+            emb = rows.reshape(
+                dense.shape[0], model_cfg.num_sparse_features, table_cfg.dim
+            )
+            return jax.nn.sigmoid(model.apply(params, dense, emb))
+
+        for i, batch in enumerate(stream.batches(run_cfg.steps)):
+            t0 = time.perf_counter()
+            rows = table.lookup(batch["ids"].reshape(-1), train=False)
+            p = score(table.shard, params, jnp.asarray(batch["dense"]), rows)
+            p = np.asarray(p)  # host fetch = real completion barrier
+            lat_ms.append((time.perf_counter() - t0) * 1e3)
+            print(json.dumps({
+                "batch": i,
+                "mean_score": float(np.mean(p)),
+                "scores": p[: args.emit].round(6).tolist(),
+            }))
+    if lat_ms:
+        a = np.asarray(lat_ms[1:] or lat_ms)  # drop compile batch
+        log_line = {
+            "serve_latency_ms": {
+                "p50": round(float(np.percentile(a, 50)), 2),
+                "p95": round(float(np.percentile(a, 95)), 2),
+                "p99": round(float(np.percentile(a, 99)), 2),
+                "mean": round(float(a.mean()), 2),
+            },
+            "batch_size": run_cfg.batch_size,
+            "batches": len(lat_ms),
+        }
+        # stderr: stdout stays one JSON line per batch (stable contract)
+        print(json.dumps(log_line), file=sys.stderr)
     return 0
 
 
@@ -453,6 +498,8 @@ def main(argv=None) -> int:
                     help="'synthetic' or comma-separated Criteo TSV paths")
     sv.add_argument("--emit", type=int, default=8,
                     help="scores per batch to include in the JSON output")
+    sv.add_argument("--distributed", action="store_true",
+                    help="row-shard the restored table over all local devices")
     sv.set_defaults(fn=cmd_serve)
 
     c = sub.add_parser("ckpt-inspect", help="print checkpoint manifest + stats")

@@ -812,6 +812,72 @@ def evict_pass(spec: TableSpec, shard: TableShard, step) -> Tuple[TableShard, Ev
     return shard, export
 
 
+def check_invariants(spec: TableSpec, shard: TableShard) -> dict:
+    """Debug-mode on-device invariant scan (SURVEY.md §5 race/sanitizer
+    mechanism): returns violation counts, all zero on a healthy shard.
+
+      cnt_mismatch      per-bucket live-row count != shard.cnt
+      bad_placement     a live key stored outside its XOR probe window
+      dup_keys          the same (hi, lo) key in more than one slot
+      free_values_resid nonzero values lanes under free slots (the ADD-form
+                        write invariant every hot-path scatter relies on)
+      load_overflow     cnt > 128 anywhere
+
+    One jitted pass over the shard; meant for tests and --debug ticks, not
+    the hot path."""
+    nb = spec.num_buckets
+    lm = live_mask(shard)  # [nb, 128]
+    cnt_mismatch = jnp.sum(
+        jnp.abs(lm.sum(axis=1).astype(jnp.int32) - shard.cnt)
+    ).astype(jnp.int32)
+    b0 = hashing.bucket_of(shard.key_hi, shard.key_lo, nb)  # [nb,128]
+    here = jax.lax.broadcasted_iota(jnp.int32, (nb, LANES), 0)
+    r = b0 ^ here  # XOR probe round that would reach this bucket
+    bad_placement = jnp.sum(
+        lm & (r >= min(spec.max_probe_rounds, nb))
+    ).astype(jnp.int32)
+    # duplicate keys: sort all capacity slots' (hi, lo), count equal live
+    # neighbors (O(cap log cap) — debug only)
+    kh = jnp.where(lm, shard.key_hi, hashing.EMPTY_HI).reshape(-1)
+    kl = jnp.where(lm, shard.key_lo, hashing.EMPTY_LO).reshape(-1)
+    bh = kh.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
+    bl = kl.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
+    sh, sl = jax.lax.sort((bh, bl), num_keys=2)
+    eq = (sh[1:] == sh[:-1]) & (sl[1:] == sl[:-1])
+    live_sorted = ~(
+        (sh == (jnp.uint32(hashing.EMPTY_HI) ^ jnp.uint32(0x80000000)))
+        & (sl == (jnp.uint32(hashing.EMPTY_LO) ^ jnp.uint32(0x80000000)))
+    )
+    dup_keys = jnp.sum(eq & live_sorted[1:]).astype(jnp.int32)
+    # free-slot zero residue in the values plane
+    if spec.dim <= LANES:
+        slot_live = lm.reshape(-1)  # [cap]
+        vrow_live = slot_live.reshape(-1, spec.pack)  # [vrows, pack]
+        d = spec.dim
+        win = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) // d  # window idx
+        lane_live = jnp.take_along_axis(
+            vrow_live, jnp.broadcast_to(win, (vrow_live.shape[0], LANES)), axis=1
+        )
+        resid = jnp.sum(
+            jnp.where(lane_live, 0.0, jnp.abs(shard.values.astype(jnp.float32)))
+        )
+    else:
+        rps = spec.rows_per_slot
+        row_live = jnp.repeat(lm.reshape(-1), rps)[:, None]
+        resid = jnp.sum(
+            jnp.where(row_live, 0.0, jnp.abs(shard.values.astype(jnp.float32)))
+        )
+    free_values_resid = (resid > 0).astype(jnp.int32)
+    load_overflow = jnp.sum(shard.cnt > LANES).astype(jnp.int32)
+    return {
+        "cnt_mismatch": cnt_mismatch,
+        "bad_placement": bad_placement,
+        "dup_keys": dup_keys,
+        "free_values_resid": free_values_resid,
+        "load_overflow": load_overflow,
+    }
+
+
 def insert_rows(
     spec: TableSpec, shard: TableShard, hi, lo, rows, valid, step, freq=None,
     accum=None, fulldim=None, last=None,

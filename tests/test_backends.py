@@ -208,3 +208,43 @@ def test_host_concurrent_reads_during_writes(rng):
     for t in threads:
         t.join()
     assert not errors
+
+
+def test_host_kv_asan_build():
+    """SURVEY.md §5 sanitizer config: the C++ tier builds and passes an
+    insert/lookup/erase stress under AddressSanitizer+UBSan (subprocess with
+    the ASan runtime preloaded; leak check off — CPython itself 'leaks')."""
+    import os
+    import subprocess
+    import sys
+
+    asan = subprocess.run(
+        ["g++", "-print-file-name=libasan.so"], capture_output=True, text=True
+    ).stdout.strip()
+    if not asan or not os.path.exists(asan):
+        import pytest
+
+        pytest.skip("libasan not available")
+    code = """
+import numpy as np
+from meepoembedding_tpu.backends.host_kv import HostKVStore
+s = HostKVStore(width=8)
+k = np.arange(1, 1001, dtype=np.int64)
+r = np.random.default_rng(0).normal(size=(1000, 8)).astype(np.float32)
+s.insert_batch(k, r)
+out, f = s.lookup_batch(k)
+assert f.all() and np.allclose(out, r)
+s.erase_batch(k[:500])
+_, f = s.lookup_batch(k)
+assert f[500:].all() and not f[:500].any()
+print("ASAN-OK")
+"""
+    env = dict(
+        os.environ, MEEPO_SANITIZE="1", LD_PRELOAD=asan,
+        ASAN_OPTIONS="detect_leaks=0",
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, env=env, cwd="/root/repo",
+    )
+    assert out.returncode == 0 and "ASAN-OK" in out.stdout, out.stderr[-2000:]

@@ -181,6 +181,45 @@ class TestWindowExactness:
 
 
 
+class TestInvariantScan:
+    def test_healthy_table_scans_clean(self, rng):
+        spec = make_spec(dim=16, nb=8,
+                         policy=PolicyConfig(evict_policy="ttl", ttl_steps=3))
+        shard = alloc_shard(spec)
+        ids = np.unique(_ids(rng, 400))
+        shard, slot, _ = fi(spec, shard, ids, step=0)
+        # age half out, evict, reinsert some
+        shard, slot2, _ = fi(spec, shard, ids[: len(ids) // 2], step=10)
+        shard, _ = jax.jit(xla_ops.evict_pass, static_argnums=(0,))(
+            spec, shard, jnp.int32(20)
+        )
+        out = jax.jit(xla_ops.check_invariants, static_argnums=(0,))(spec, shard)
+        for k, v in out.items():
+            assert int(v) == 0, f"{k} = {int(v)}"
+
+    def test_scan_catches_corruption(self, rng):
+        spec = make_spec(dim=16, nb=8)
+        shard = alloc_shard(spec)
+        ids = np.unique(_ids(rng, 100))
+        shard, slot, _ = fi(spec, shard, ids)
+        # duplicate a key into a free slot of a wrong bucket
+        kh = np.asarray(shard.key_hi).copy()
+        kl = np.asarray(shard.key_lo).copy()
+        b, lane = np.argwhere(
+            ~((kh == hashing.EMPTY_HI) & (kl == hashing.EMPTY_LO))
+        )[0]
+        free_b = 0 if b >= 4 else spec.num_buckets - 1
+        free_lane = int(np.argwhere(
+            (kh[free_b] == hashing.EMPTY_HI) & (kl[free_b] == hashing.EMPTY_LO)
+        )[0][0])
+        kh[free_b, free_lane] = kh[b, lane]
+        kl[free_b, free_lane] = kl[b, lane]
+        bad = shard._replace(key_hi=jnp.asarray(kh), key_lo=jnp.asarray(kl))
+        out = jax.jit(xla_ops.check_invariants, static_argnums=(0,))(spec, bad)
+        assert int(out["dup_keys"]) >= 1
+        assert int(out["cnt_mismatch"]) >= 1  # cnt not updated for the forgery
+
+
 class TestProbeChains:
     def test_probe_past_full_bucket(self, rng):
         """Keys overflowing a full bucket land in the next; lookups find them."""
