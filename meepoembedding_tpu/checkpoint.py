@@ -74,7 +74,8 @@ def export_shard_arrays(
             return idx.astype(jnp.int32)
 
         idx_all = live_slots(spec, e_pad, shard)
-        chunk = 1 << 22  # 4M slots: ~0.5 GB of staged f32 rows at dim 32
+        # 4M slots/chunk: ~0.5 GB of staged f32 rows at dim 32
+        chunk = int(os.environ.get("MEEPO_EXPORT_CHUNK", 1 << 22))
         for o in range(0, n_live, chunk):
             n = min(chunk, n_live - o)
             slots = jax.lax.dynamic_slice(idx_all, (o,), (min(chunk, e_pad - o),))[:n]
