@@ -31,8 +31,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from meepoembedding_tpu.config import LANES
 
-BLOCKR = 512  # plane rows per block (256 KiB f32 slab)
-MAXU = 32  # update rows per window/grid step (dense blocks repeat)
+import os as _os
+
+BLOCKR = int(_os.environ.get("MEEPO_STREAM_BLOCKR", 512))  # rows per block
+MAXU = int(_os.environ.get("MEEPO_STREAM_MAXU", 32))  # update rows/window
 ALIGN = 8  # window DMA starts must sit on the HBM sublane tiling (bf16
 # planes pack 2 rows/sublane and Mosaic requires provable 8-divisibility),
 # so windows advance by MAXU-ALIGN updates, are READ from the aligned-down
