@@ -47,14 +47,20 @@ def row_apply_delta(spec: TableSpec, plane, slot, delta, enabled):
 
 
 def apply_sparse_grads_ctx(
-    spec: TableSpec, shard: TableShard, ctx, gwin: jax.Array
+    spec: TableSpec, shard: TableShard, ctx, gwin: jax.Array, g2_mean=None
 ) -> TableShard:
     """Fused update for the `xla_ops.lookup_train` hot path: the values plane
     receives fresh-row INIT + optimizer delta in ONE scatter pass (XLA:TPU
     scatter materializes the full plane, so each extra write costs a whole-
     table pass), and fresh rows' accumulator init rides the accum scatter.
     Window-space [U, 128] grads; rowwise/sgd only (the production hot loop);
-    other optimizer kinds take a two-pass fallback."""
+    other optimizer kinds take a two-pass fallback.
+
+    `g2_mean` maps the raw per-row sum of squared grads to the accumulator
+    increment (default: / spec.dim). A column-sharded table
+    (parallel/colsharded.py) passes `lambda s: psum(s, 'c') / global_dim` so
+    the ROWWISE accumulator keeps full-row semantics across column shards
+    (full-dim adagrad/adam are per-lane and need no cross-column coupling)."""
     opt = spec.optimizer
     slot, fresh = ctx.slot, ctx.fresh
     enabled = slot >= 0
@@ -72,7 +78,8 @@ def apply_sparse_grads_ctx(
         (accum_plane,) = shard.opt_rowwise
         with jax.named_scope("meepo.accum_update"):
             a_old = gather_bucket_plane(accum_plane, slot)  # fresh slots -> 0
-            g2 = jnp.sum(gwin * gwin, axis=1) / spec.dim
+            g2 = jnp.sum(gwin * gwin, axis=1)
+            g2 = g2 / spec.dim if g2_mean is None else g2_mean(g2)
             acc_add = g2 + jnp.where(fresh, jnp.float32(opt.initial_accumulator), 0.0)
             a_new = a_old + acc_add
             accum_plane = scatter_add_bucket_plane(accum_plane, slot, acc_add, enabled)

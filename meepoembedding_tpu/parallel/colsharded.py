@@ -1,0 +1,264 @@
+"""Column-sharded (row x dim) distributed table — 2-D table parallelism
+(SURVEY.md §2 "Column-sharding of dim"; HugeCTR-style row+column sharding).
+
+Mesh is ('d', 'c'): axis `d` carries row-sharding + the all-to-all ID
+exchange + data parallelism exactly as in `parallel/trainer.py`; axis `c`
+splits the FEATURE dimension — column chip c holds lanes
+[c*dim/C, (c+1)*dim/C) of every logical row.
+
+The TPU-native trick that makes this cheap: the key/metadata planes are kept
+in lockstep across `c` BY DETERMINISM, not by collectives. probe /
+plan_insert / admission are pure functions of (key planes, ids); every
+column chip receives the identical id stream (batch replicated over `c`),
+so their key-side state evolves bit-identically with ZERO communication on
+`c`. Only value-like planes differ per column chip:
+
+  - fresh rows: `TableSpec.init_lane_axis='c'` shifts the deterministic
+    initializer's lane stream so concatenating the column blocks is
+    bit-identical to an unsharded full-dim init (hashing.default_rows);
+  - the ID all-to-all rides `d` within each column slice, and the row/grad
+    payloads carry dim/C lanes per chip — exchange ICI volume scales DOWN
+    by C (the reason to column-shard very wide embeddings at all);
+  - the dense tower all_gathers the [U, dim/C] blocks over `c` (feature-axis
+    concat) outside the autodiff boundary; tower grads are computed
+    replicated per column slice, and each chip slices out its own block —
+    no collective in the sparse backward;
+  - rowwise-AdaGrad's accumulator is a FULL-ROW statistic (mean over dim):
+    the raw per-row sum of squares is psum'd over `c` and divided by the
+    GLOBAL dim (optim.apply_sparse_grads_ctx g2_mean hook), so the
+    accumulator stays bit-identical across column chips and semantically
+    identical to the unsharded optimizer. Full-dim AdaGrad/Adam are
+    per-lane and need no coupling.
+
+The reference class (HugeCTR-style CUDA engines) implements column sharding
+with NCCL all-gathers of value slices; here the only added collectives are
+the feature all_gather and one [U]-scalar psum."""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from meepoembedding_tpu.config import ModelConfig, RunConfig, TableConfig
+from meepoembedding_tpu.metrics import StreamingAUC
+from meepoembedding_tpu.models import build_model
+from meepoembedding_tpu.models.common import bce_with_logits
+from meepoembedding_tpu.ops import dedup, optim
+from meepoembedding_tpu.parallel import multihost
+from meepoembedding_tpu.parallel import sharded_table as st
+from meepoembedding_tpu.parallel.mesh import SHARD_AXIS
+from meepoembedding_tpu.table import hashing
+from meepoembedding_tpu.table.layout import TableSpec, alloc_shard
+
+COL_AXIS = "c"
+
+
+def make_mesh2d(num_row: int, num_col: int, devices=None) -> Mesh:
+    """('d', 'c') mesh: `d` strides over device groups so each row slice is
+    ICI-contiguous (the a2a rides `d`; the cheap all_gather rides `c`)."""
+    devs = list(devices if devices is not None else jax.devices())
+    need = num_row * num_col
+    assert len(devs) >= need, f"need {need} devices, have {len(devs)}"
+    return Mesh(np.asarray(devs[:need]).reshape(num_row, num_col),
+                (SHARD_AXIS, COL_AXIS))
+
+
+def col_local_spec(spec: TableSpec, num_col: int) -> TableSpec:
+    """Per-column-chip table geometry: dim/C lanes of every logical row."""
+    assert spec.dim % num_col == 0, (spec.dim, num_col)
+    return dataclasses.replace(
+        spec, dim=spec.dim // num_col, init_lane_axis=COL_AXIS
+    )
+
+
+def alloc_col_stacked(spec_local: TableSpec, mesh: Mesh):
+    """Empty shards stacked [S, C, ...], sharded over both mesh axes."""
+    S, C = mesh.shape[SHARD_AXIS], mesh.shape[COL_AXIS]
+    proto = alloc_shard(spec_local)
+    sharding = NamedSharding(mesh, P(SHARD_AXIS, COL_AXIS))
+
+    @partial(jax.jit, out_shardings=sharding)
+    def _alloc():
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(a[None, None], (S, C) + a.shape), proto
+        )
+
+    return _alloc()
+
+
+def _squeeze2(stacked):
+    return jax.tree.map(lambda a: a[0, 0], stacked)
+
+
+def _unsqueeze2(shard):
+    return jax.tree.map(lambda a: a[None, None], shard)
+
+
+def make_col_step(spec: TableSpec, model, mesh: Mesh, dense_lr: float,
+                  unique_cap: int, a2a_factor: float = 1.25):
+    """Jitted 2-D sharded train step. `spec` is the GLOBAL (full-dim)
+    geometry; the table state is [S, C, ...] column-local shards."""
+    S, C = mesh.shape[SHARD_AXIS], mesh.shape[COL_AXIS]
+    spec_l = col_local_spec(spec, C)
+    dl = spec_l.dim
+    cap = st.a2a_capacity(unique_cap, S, a2a_factor)
+
+    def g2_mean(s2):
+        # full-row accumulator semantics: psum the raw sum-of-squares over
+        # the column axis, divide by the GLOBAL dim
+        return lax.psum(s2, COL_AXIS) / spec.dim
+
+    def step_impl(stacked, params, opt_state, dense, hi, lo, label, step):
+        shard = _squeeze2(stacked)
+        b, s = hi.shape
+        uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), unique_cap)
+        drops0 = shard.counters[st.ROUTE_DROPS]
+        shard, emb_u, ctx = st.exchange_lookup(
+            spec_l, shard, uniq.hi, uniq.lo, uniq.valid, step, SHARD_AXIS,
+            cap, train=True,
+        )
+        drops = lax.psum(
+            shard.counters[st.ROUTE_DROPS] - drops0, (SHARD_AXIS, COL_AXIS)
+        ) // C
+        # feature-axis all_gather OUTSIDE the autodiff boundary: tower grads
+        # w.r.t. the gathered [U, dim] rows are computed replicated per
+        # column slice; each chip then slices its own dim/C block — exact,
+        # no scaling, no collective in the sparse backward.
+        emb_full_u = lax.all_gather(
+            emb_u.astype(jnp.float32), COL_AXIS, axis=1, tiled=True
+        )  # [U, dim], block c at lanes [c*dl, (c+1)*dl)
+
+        def loss_fn(params, emb_full_u):
+            emb = emb_full_u[uniq.inverse].reshape(b, s, spec.dim)
+            logits = model.apply(params, dense, emb)
+            return bce_with_logits(logits, label) / S, logits
+
+        (loss, logits), (g_dense, g_full) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, emb_full_u)
+        cidx = lax.axis_index(COL_AXIS)
+        g_u = lax.dynamic_slice_in_dim(g_full, cidx * dl, dl, axis=1)
+        shard = st.exchange_apply_grads(
+            spec_l, shard, ctx, g_u, SHARD_AXIS, cap, g2_mean=g2_mean
+        )
+        # dense grads are identical across `c` (replicated tower pass): psum
+        # over `d` alone keeps them replicated on the full mesh
+        g_dense = lax.psum(g_dense, SHARD_AXIS)
+        params, opt_state = optim.dense_adam_update(
+            params, g_dense, opt_state, dense_lr
+        )
+        loss = lax.psum(loss, SHARD_AXIS)
+        return _unsqueeze2(shard), params, opt_state, loss, logits, drops
+
+    sp2 = P(SHARD_AXIS, COL_AXIS)
+    fn = jax.shard_map(
+        step_impl,
+        mesh=mesh,
+        in_specs=(sp2, P(), P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                  P(SHARD_AXIS), P()),
+        out_specs=(sp2, P(), P(), P(), P(SHARD_AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def make_col_eval(spec: TableSpec, model, mesh: Mesh, unique_cap: int,
+                  a2a_factor: float = 1.25):
+    S, C = mesh.shape[SHARD_AXIS], mesh.shape[COL_AXIS]
+    spec_l = col_local_spec(spec, C)
+    cap = st.a2a_capacity(unique_cap, S, a2a_factor)
+
+    def eval_impl(stacked, params, dense, hi, lo, label):
+        shard = _squeeze2(stacked)
+        b, s = hi.shape
+        uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), unique_cap)
+        _, emb_u, _ = st.exchange_lookup(
+            spec_l, shard, uniq.hi, uniq.lo, uniq.valid, jnp.int32(0),
+            SHARD_AXIS, cap, train=False,
+        )
+        emb_full_u = lax.all_gather(
+            emb_u.astype(jnp.float32), COL_AXIS, axis=1, tiled=True
+        )
+        emb = emb_full_u[uniq.inverse].reshape(b, s, spec.dim)
+        logits = model.apply(params, dense, emb)
+        loss = lax.pmean(bce_with_logits(logits, label), SHARD_AXIS)
+        return loss, logits
+
+    fn = jax.shard_map(
+        eval_impl,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS, COL_AXIS), P(), P(SHARD_AXIS), P(SHARD_AXIS),
+                  P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(), P(SHARD_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class ColShardedTrainer:
+    """2-D (row x dim) sharded trainer for very wide embedding tables.
+    Mirrors `parallel.trainer.ShardedTrainer`'s step API; table state is
+    [S, C, ...] with column-local value planes."""
+
+    def __init__(self, run_cfg: RunConfig, table_cfg: TableConfig,
+                 model_cfg: ModelConfig, mesh: Mesh):
+        assert model_cfg.embedding_dim == table_cfg.dim
+        self.mesh = mesh
+        self.S = mesh.shape[SHARD_AXIS]
+        self.C = mesh.shape[COL_AXIS]
+        assert run_cfg.batch_size % self.S == 0
+        self.run_cfg = run_cfg
+        self.spec = TableSpec.from_config(table_cfg, num_shards=self.S)
+        self.spec_local = col_local_spec(self.spec, self.C)
+        self.model = build_model(model_cfg)
+        self.stacked = alloc_col_stacked(self.spec_local, mesh)
+        key = jax.random.PRNGKey(run_cfg.seed)
+        rep = NamedSharding(mesh, P())
+        self.params = jax.device_put(self.model.init(key), rep)
+        self.opt_state = jax.device_put(optim.dense_adam_init(self.params), rep)
+        self.step = 0
+        self.auc = StreamingAUC()
+        per_dev_ids = run_cfg.batch_size // self.S * model_cfg.num_sparse_features
+        self.unique_cap = run_cfg.unique_cap or per_dev_ids
+        self._step_fn = make_col_step(
+            self.spec, self.model, mesh, run_cfg.dense_learning_rate,
+            self.unique_cap, run_cfg.a2a_factor,
+        )
+        self._eval_fn = make_col_eval(
+            self.spec, self.model, mesh, self.unique_cap, run_cfg.a2a_factor
+        )
+
+    def _device_batch(self, batch):
+        hi, lo = hashing.split_ids(batch["ids"])
+        ps = P(SHARD_AXIS)
+        return (
+            multihost.shard_batch(np.asarray(batch["dense"], np.float32), self.mesh, ps),
+            multihost.shard_batch(hi, self.mesh, ps),
+            multihost.shard_batch(lo, self.mesh, ps),
+            multihost.shard_batch(np.asarray(batch["label"], np.float32), self.mesh, ps),
+        )
+
+    def train_step(self, batch: dict) -> dict:
+        dense, hi, lo, label = self._device_batch(batch)
+        (self.stacked, self.params, self.opt_state, loss, logits, drops
+         ) = self._step_fn(
+            self.stacked, self.params, self.opt_state, dense, hi, lo, label,
+            jnp.int32(self.step),
+        )
+        self.step += 1
+        self.auc.update(np.asarray(logits), np.asarray(batch["label"]))
+        return {"loss": float(loss), "route_drops": int(drops)}
+
+    def eval_step(self, batch: dict) -> dict:
+        dense, hi, lo, label = self._device_batch(batch)
+        loss, logits = self._eval_fn(
+            self.stacked, self.params, dense, hi, lo, label
+        )
+        return {"loss": float(loss), "logits": logits}

@@ -139,10 +139,12 @@ def exchange_lookup(
 
 
 def exchange_apply_grads(
-    spec: TableSpec, shard: TableShard, ctx: RouteCtx, g_u, axis: str, cap: int
+    spec: TableSpec, shard: TableShard, ctx: RouteCtx, g_u, axis: str, cap: int,
+    g2_mean=None,
 ) -> TableShard:
     """Reverse path: route per-unique grads to owners, segment-sum per key,
-    one in-place optimizer update (SURVEY.md §3.3)."""
+    one in-place optimizer update (SURVEY.md §3.3). `g2_mean` threads to
+    optim.apply_sparse_grads_ctx (column-sharded rowwise accumulator)."""
     S = lax.axis_size(axis)
     o = jnp.where(ctx.ok, ctx.owner, S)
     send_g = (
@@ -157,7 +159,7 @@ def exchange_apply_grads(
         g_win = xla_ops.grads_to_window(
             spec, recv_g, lctx.sub, ctx.inverse, lctx.slot.shape[0]
         )
-        return optim.apply_sparse_grads_ctx(spec, shard, lctx, g_win)
+        return optim.apply_sparse_grads_ctx(spec, shard, lctx, g_win, g2_mean=g2_mean)
     slot = ctx.lctx
     g_per_key = dedup.segment_sum_grads(recv_g, ctx.inverse, num_unique=slot.shape[0])
     return optim.apply_sparse_grads(spec, shard, slot, g_per_key)

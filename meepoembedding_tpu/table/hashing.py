@@ -85,16 +85,24 @@ def is_valid(hi, lo) -> jnp.ndarray:
     return ~((hi == EMPTY_HI) & (lo == EMPTY_LO))
 
 
-def default_rows(hi, lo, dim: int, scale: float, dtype=jnp.float32) -> jnp.ndarray:
+def default_rows(
+    hi, lo, dim: int, scale: float, dtype=jnp.float32, lane_offset: int = 0
+) -> jnp.ndarray:
     """Deterministic fresh-row initializer: Uniform(-scale, scale) derived
     from the key hash alone. Insert-order independent, which makes elastic
     reshard/restore (SURVEY.md §3.5) bit-stable. scale==0 -> zeros.
+
+    `lane_offset` shifts the per-lane hash stream: a column-sharded table
+    (parallel/colsharded.py) holding lanes [off, off+dim) of a wider logical
+    row reproduces EXACTLY the bits a full-width table would put there, so
+    concatenating column shards is bit-identical to the unsharded init.
     """
     n = hi.shape[0]
     if scale == 0.0:
         return jnp.zeros((n, dim), dtype)
     h0 = hash_pair(hi, lo, SALT_INIT)  # [n]
-    d = jnp.arange(dim, dtype=jnp.uint32)[None, :]
+    # offset may be a traced scalar (column shard under shard_map)
+    d = jnp.arange(dim, dtype=jnp.uint32)[None, :] + jnp.uint32(lane_offset)
     bits = fmix32(h0[:, None] + d * jnp.uint32(0x9E3779B9))
     # top 24 bits -> uniform [0, 1)
     u = (bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))

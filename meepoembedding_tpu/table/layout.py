@@ -57,6 +57,20 @@ class TableSpec:
     optimizer: OptimizerConfig
     policy: PolicyConfig
     insert_cap: "int | None" = None
+    # column sharding (parallel/colsharded.py): this shard holds lanes
+    # [off, off + dim) of a wider logical row, where off = init_lane_offset
+    # (+ axis_index(init_lane_axis) * dim under shard_map — SPMD traces one
+    # program, so the per-column offset must come from the mesh axis). The
+    # fresh-row initializer reproduces exactly those lanes' bits.
+    init_lane_offset: int = 0
+    init_lane_axis: "str | None" = None
+
+    def lane_offset(self):
+        """Initializer lane offset (static int or traced under shard_map)."""
+        off = self.init_lane_offset
+        if self.init_lane_axis is not None:
+            off = off + jax.lax.axis_index(self.init_lane_axis) * self.dim
+        return off
 
     @staticmethod
     def from_config(cfg: TableConfig, num_shards: int = 1) -> "TableSpec":

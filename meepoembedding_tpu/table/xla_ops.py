@@ -470,7 +470,8 @@ def find_or_insert(
         freq = scatter_add_bucket_plane(freq, plan.slot, jnp.ones_like(uh), plan.ok)
         last = scatter_add_bucket_plane(last, plan.slot, jnp.full_like(uh, step), plan.ok)
         init_rows = hashing.default_rows(
-            uh, ul, spec.dim, spec.initializer_scale, spec.dtype
+            uh, ul, spec.dim, spec.initializer_scale, spec.dtype,
+            lane_offset=spec.lane_offset(),
         )
         values = scatter_add_values(spec, values, plan.slot, init_rows, plan.ok)
         opt_rowwise = tuple(
@@ -577,7 +578,8 @@ def lookup_train(
     with jax.named_scope("meepo.gather"):
         g128, sub = lookup_rows128(spec, shard, slot)
         init_rows = hashing.default_rows(
-            uh, ul, spec.dim, spec.initializer_scale, spec.dtype
+            uh, ul, spec.dim, spec.initializer_scale, spec.dtype,
+            lane_offset=spec.lane_offset(),
         )
         init_win = window_place(spec, init_rows, sub)
         g128 = jnp.where(fresh[:, None], init_win.astype(g128.dtype), g128)

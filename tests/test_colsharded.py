@@ -1,0 +1,113 @@
+"""Column-sharded (row x dim) table parallelism (SURVEY.md §2
+"Column-sharding of dim"): 2-D sharded training must track single-device
+training, column shards must stay in deterministic lockstep, and the
+lane-offset initializer must tile the full-dim init bit-exactly."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from meepoembedding_tpu.config import ModelConfig, OptimizerConfig, RunConfig, TableConfig
+from meepoembedding_tpu.data.synthetic import SyntheticConfig, SyntheticStream
+from meepoembedding_tpu.parallel.colsharded import (
+    ColShardedTrainer,
+    col_local_spec,
+    make_mesh2d,
+)
+from meepoembedding_tpu.table import hashing
+from meepoembedding_tpu.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def mesh2x2():
+    assert jax.device_count() >= 4, "conftest must provide 8 virtual devices"
+    return make_mesh2d(2, 2)
+
+
+def test_lane_offset_init_tiles_full_dim_exactly(rng):
+    ids = rng.integers(0, 10**12, size=64, dtype=np.int64)
+    hi, lo = hashing.split_ids(ids)
+    hi, lo = jnp.asarray(hi), jnp.asarray(lo)
+    full = hashing.default_rows(hi, lo, 64, 0.02)
+    blocks = [
+        hashing.default_rows(hi, lo, 16, 0.02, lane_offset=off)
+        for off in (0, 16, 32, 48)
+    ]
+    np.testing.assert_array_equal(np.asarray(full), np.concatenate(blocks, axis=1))
+
+
+def _cfgs(dim):
+    run = RunConfig(batch_size=128, steps=6, dense_learning_rate=3e-3, seed=5)
+    table = TableConfig(
+        dim=dim, capacity=1 << 14, initializer_scale=0.02,
+        optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.05),
+    )
+    model = ModelConfig(
+        kind="ctr_mlp", num_dense_features=4, num_sparse_features=4,
+        embedding_dim=dim, bottom_mlp=(16, dim), top_mlp=(32, 1),
+    )
+    data = SyntheticConfig(
+        num_dense=4, num_sparse=4, batch_size=128, vocab_per_feature=500
+    )
+    return run, table, model, data
+
+
+def test_colsharded_matches_single_device_training(mesh2x2):
+    """2x2 (row x dim) training must track single-device full-dim training:
+    same ids, same deterministic init (lane-offset), same rowwise-AdaGrad
+    semantics (g2 psum over columns)."""
+    run, table, model, data = _cfgs(dim=64)
+    t1 = Trainer(run, table, model)
+    t22 = ColShardedTrainer(run, table, model, mesh2x2)
+    losses1, losses22, drops = [], [], 0
+    for batch in SyntheticStream(data).batches(run.steps):
+        losses1.append(t1.train_step(batch)["loss"])
+        out = t22.train_step(batch)
+        losses22.append(out["loss"])
+        drops += out["route_drops"]
+    assert drops == 0
+    np.testing.assert_allclose(losses1, losses22, rtol=2e-3, atol=2e-4)
+    # eval path too
+    batch = next(iter(SyntheticStream(data).batches(1)))
+    e1 = t1.eval_step(batch)["loss"]
+    e22 = t22.eval_step(batch)["loss"]
+    np.testing.assert_allclose(e1, e22, rtol=2e-3, atol=2e-4)
+
+
+def test_colsharded_column_lockstep(mesh2x2):
+    """Key/metadata planes and the rowwise accumulator must be BIT-identical
+    across column chips after training (determinism replaces collectives);
+    value planes must differ (they hold different lane blocks)."""
+    run, table, model, data = _cfgs(dim=64)
+    tr = ColShardedTrainer(run, table, model, mesh2x2)
+    for batch in SyntheticStream(data).batches(4):
+        tr.train_step(batch)
+    st = jax.device_get(tr.stacked)
+    for s in range(tr.S):
+        np.testing.assert_array_equal(st.key_hi[s, 0], st.key_hi[s, 1])
+        np.testing.assert_array_equal(st.key_lo[s, 0], st.key_lo[s, 1])
+        np.testing.assert_array_equal(st.cnt[s, 0], st.cnt[s, 1])
+        np.testing.assert_array_equal(st.freq[s, 0], st.freq[s, 1])
+        # full-row accumulator semantics -> identical across columns
+        np.testing.assert_allclose(
+            st.opt_rowwise[0][s, 0], st.opt_rowwise[0][s, 1], rtol=1e-6
+        )
+        # live columns hold DIFFERENT lane blocks of the same rows
+        if st.cnt[s, 0].sum() > 0:
+            assert not np.array_equal(st.values[s, 0], st.values[s, 1])
+
+
+def test_col_local_spec_geometry():
+    table = TableConfig(dim=256, capacity=1 << 14, initializer_scale=0.02)
+    from meepoembedding_tpu.table.layout import TableSpec
+
+    spec = TableSpec.from_config(table, num_shards=2)
+    spec_l = col_local_spec(spec, 4)
+    assert spec_l.dim == 64
+    assert spec_l.init_lane_axis == "c"
+    # value storage shrinks by C, key planes unchanged
+    assert spec_l.value_rows * 4 == spec.value_rows
+    assert spec_l.num_buckets == spec.num_buckets
