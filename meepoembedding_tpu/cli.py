@@ -187,7 +187,25 @@ def cmd_train(args) -> int:
             from meepoembedding_tpu.metrics import JsonlLogger, Meter
             from meepoembedding_tpu.parallel.trainer import ShardedTrainer
 
-            tr = ShardedTrainer(run_cfg, table_cfg, model_cfg, spill=spill)
+            col = getattr(args, "col_shards", 1)
+            if col > 1:
+                # 2-D (row x dim) table parallelism for very wide tables
+                from meepoembedding_tpu.parallel.colsharded import (
+                    ColShardedTrainer, make_mesh2d,
+                )
+
+                if args.restore or args.ckpt_dir or spill is not None:
+                    raise SystemExit(
+                        "--col-shards training does not support "
+                        "--restore/--ckpt-dir/--spill yet"
+                    )
+                assert jax.device_count() % col == 0, (
+                    f"--col-shards {col} must divide {jax.device_count()} devices"
+                )
+                mesh = make_mesh2d(jax.device_count() // col, col)
+                tr = ColShardedTrainer(run_cfg, table_cfg, model_cfg, mesh)
+            else:
+                tr = ShardedTrainer(run_cfg, table_cfg, model_cfg, spill=spill)
             if args.restore:
                 tr.load_checkpoint(args.restore)
             logger = JsonlLogger(echo=True)
@@ -507,6 +525,9 @@ def main(argv=None) -> int:
     t.add_argument("--ckpt-dir", help="save an elastic checkpoint here at the end")
     t.add_argument("--ckpt-every", type=int, default=0)
     t.add_argument("--restore", help="restore from this checkpoint before training")
+    t.add_argument("--col-shards", type=int, default=1,
+                   help="column (dim) shards for 2-D row x dim table "
+                        "parallelism (requires --distributed; dim %% N == 0)")
     t.set_defaults(fn=cmd_train)
 
     for name, fn in (("bench-lookup", cmd_bench_lookup), ("bench-update", cmd_bench_update)):

@@ -262,3 +262,26 @@ class ColShardedTrainer:
             self.stacked, self.params, dense, hi, lo, label
         )
         return {"loss": float(loss), "logits": logits}
+
+    def maintenance(self) -> dict:
+        """Eviction/spill is not wired for the 2-D layout yet (the CLI
+        forbids --spill with --col-shards); a no-op keeps the shared train
+        loop's maintenance cadence harmless."""
+        return {"evicted": 0, "promoted": 0}
+
+    def _replicated(self, fn, *arrs):
+        return jax.jit(fn, out_shardings=NamedSharding(self.mesh, P()))(*arrs)
+
+    def counters(self) -> dict:
+        # counters are identical across columns (lockstep): column 0, sum rows
+        c = np.asarray(
+            self._replicated(lambda a: jnp.sum(a[:, 0], axis=0), self.stacked.counters)
+        )
+        names = [
+            "hits", "misses", "inserts", "drops", "evictions", "spills",
+            "promotes", "denied", "route_drops",
+        ]
+        return {n: int(c[i]) for i, n in enumerate(names)}
+
+    def __len__(self) -> int:
+        return int(self._replicated(lambda a: jnp.sum(a[:, 0]), self.stacked.cnt))

@@ -177,3 +177,33 @@ def test_ckpt_inspect_cli(tmp_path):
     assert m["total_rows"] == 50
     assert m["num_shards"] == 1
     assert m["dim"] == 8
+
+
+def test_colsharded_train_cli():
+    """--col-shards: 2-D (row x dim) training through the CLI on a 4x2
+    virtual mesh (SURVEY.md §2 column-sharding)."""
+    env = {
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "PATH": "/usr/bin:/bin:/usr/local/bin",
+    }
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "train", "--distributed",
+         "--col-shards", "2", "--data", "synthetic",
+         "--set", "run.steps=4", "run.batch_size=128", "table.capacity=8192",
+         "table.dim=32", "model.kind=ctr_mlp", "model.num_sparse_features=3",
+         "model.top_mlp=16,1", "run.log_every=2"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    final = json.loads(out.stdout.strip().splitlines()[-1])
+    assert final["steps"] == 4
+
+    # guard: unsupported combos fail fast, not deep in the run
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "train", "--distributed",
+         "--col-shards", "2", "--spill", "host", "--data", "synthetic",
+         "--set", "run.steps=1", "table.dim=32"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode != 0
