@@ -255,6 +255,85 @@ def save_sharded(
     return manifest
 
 
+def save_sharded2d(
+    path: str,
+    spec_local: TableSpec,
+    global_dim: int,
+    shards_by_sc: dict,
+    num_shards: int,
+    num_cols: int,
+    step: int,
+    extras: Optional[dict] = None,
+    dense: Optional[dict] = None,
+    is_coordinator: bool = True,
+    barrier=lambda name="": None,
+) -> dict:
+    """Checkpoint a column-sharded (row x dim) table (parallel/colsharded.py).
+
+    Each (row-shard s, column c) device state exports its OWN lane block to
+    shard-SSSSS.colCC.npz (host memory stays one block per fetch, same as the
+    1-D path); `iter_rows` merges columns into canonical full-dim rows at
+    read time, so the checkpoint restores onto ANY layout — single device,
+    row-sharded (restore_shards), or a different (S', C') grid. Same
+    generation-dir commit protocol as save_sharded."""
+    os.makedirs(path, exist_ok=True)
+    gen = _gen_name(path, step)
+    gdir = os.path.join(path, gen)
+    os.makedirs(gdir, exist_ok=True)
+    dl = spec_local.dim
+    for (s, c), shard in shards_by_sc.items():
+        arrs = export_shard_arrays(spec_local, shard)
+        arrs["lane_offset"] = np.int32(c * dl)
+        _atomic_write(
+            os.path.join(gdir, f"shard-{s:05d}.col{c:02d}.npz"),
+            lambda f, arrs=arrs: np.savez(f, **arrs),
+        )
+    dense = dense or {}
+    if is_coordinator:
+        for name, tree in dense.items():
+            leaves, _ = jax.tree_util.tree_flatten(tree)
+            flat = {f"leaf{j}": np.asarray(x) for j, x in enumerate(leaves)}
+            _atomic_write(
+                os.path.join(gdir, f"dense-{name}.npz"),
+                lambda f, flat=flat: np.savez(f, **flat),
+            )
+    barrier("ckpt-shards-written")
+    if is_coordinator:
+        counts = []
+        for i in range(num_shards):
+            with np.load(os.path.join(gdir, f"shard-{i:05d}.col00.npz")) as z:
+                counts.append(int(z["ids"].shape[0]))
+        manifest = {
+            "format": FORMAT_VERSION,
+            "num_shards": num_shards,
+            "col_shards": num_cols,
+            "dim": int(global_dim),
+            "capacity_per_shard": spec_local.capacity,
+            "step": int(step),
+            "value_dtype": spec_local.value_dtype,
+            "optimizer": {
+                "kind": spec_local.optimizer.kind,
+                "rowwise_slots": spec_local.optimizer.num_rowwise_slots(),
+                "fulldim_slots": spec_local.optimizer.num_fulldim_slots(),
+            },
+            "counts": counts,
+            "dir": gen,
+            "dense": sorted(dense),
+            "extras": extras or {},
+        }
+        _atomic_write(
+            os.path.join(path, "manifest.json"),
+            lambda f: f.write(json.dumps(manifest, indent=1).encode()),
+        )
+    barrier("ckpt-manifest-committed")
+    if is_coordinator:
+        _prune_generations(path, keep=gen)
+    barrier("ckpt-pruned")
+    if not is_coordinator:
+        manifest = read_manifest(path)
+    return manifest
+
+
 # --- restore -----------------------------------------------------------------
 
 def read_manifest(path: str) -> dict:
@@ -265,12 +344,42 @@ def read_manifest(path: str) -> dict:
 
 
 def iter_rows(path: str) -> Iterator[dict]:
-    """Stream the checkpoint's shard files one at a time (bounded memory)."""
+    """Stream the checkpoint's shard files one at a time (bounded memory).
+
+    Column-sharded checkpoints (save_sharded2d) store per-column lane blocks
+    in shard-SSSSS.colCC.npz files; they are merged here into canonical
+    full-dim rows, so every consumer (elastic restore onto any layout,
+    ckpt-inspect, serve) reads one format."""
     m = read_manifest(path)
     d = _data_dir(path, m)
+    C = int(m.get("col_shards", 1))
     for i in range(m["num_shards"]):
-        with np.load(os.path.join(d, f"shard-{i:05d}.npz")) as z:
-            yield {k: z[k] for k in z.files}
+        if C <= 1:
+            with np.load(os.path.join(d, f"shard-{i:05d}.npz")) as z:
+                yield {k: z[k] for k in z.files}
+            continue
+        cols = []
+        for c in range(C):
+            with np.load(os.path.join(d, f"shard-{i:05d}.col{c:02d}.npz")) as z:
+                cols.append({k: z[k] for k in z.files})
+        # column lockstep guarantees identical export order: ids must match
+        for c in range(1, C):
+            assert np.array_equal(cols[0]["ids"], cols[c]["ids"]), (
+                f"shard {i}: column {c} export out of lockstep"
+            )
+        merged = {
+            k: v for k, v in cols[0].items()
+            if k not in ("values",) and not k.startswith("full")
+        }
+        merged.pop("lane_offset", None)
+        order = np.argsort([int(c["lane_offset"]) for c in cols])
+        merged["values"] = np.concatenate(
+            [cols[int(j)]["values"] for j in order], axis=1
+        )
+        fulls = [k for k in cols[0] if k.startswith("full")]
+        for k in fulls:
+            merged[k] = np.concatenate([cols[int(j)][k] for j in order], axis=1)
+        yield merged
 
 
 def load_dense(path: str, name: str, template):
@@ -301,14 +410,22 @@ def restore_shards(
     num_shards: int,
     batch: int = _RESTORE_BATCH,
     only_ids: Optional[set] = None,
+    lane_slice: Optional[Tuple[int, int]] = None,
 ) -> Tuple[List[Optional[TableShard]], dict]:
     """Rebuild `num_shards` fresh shards from a checkpoint written with ANY
     shard count (elastic reshard, §3.5): every saved key is rehashed to its
     new owner and bulk-inserted. `only_ids` restricts materialization to this
-    process's shards (multi-process restore) — others stay None. Returns
-    (shards, manifest)."""
+    process's shards (multi-process restore) — others stay None.
+    `lane_slice=(off, d)` restores only lanes [off, off+d) of each saved row
+    into a dim-d local spec (one COLUMN of a 2-D layout; full-dim optimizer
+    slots are sliced the same way, rowwise slots are lane-independent).
+    Returns (shards, manifest)."""
     m = read_manifest(path)
-    assert m["dim"] == spec.dim, f"dim mismatch: ckpt {m['dim']} vs spec {spec.dim}"
+    if lane_slice is None:
+        assert m["dim"] == spec.dim, f"dim mismatch: ckpt {m['dim']} vs spec {spec.dim}"
+    else:
+        off, dl = lane_slice
+        assert dl == spec.dim and off + dl <= m["dim"], (lane_slice, m["dim"], spec.dim)
     assert m["optimizer"]["kind"] == spec.optimizer.kind, (
         f"optimizer mismatch: ckpt {m['optimizer']['kind']} vs {spec.optimizer.kind}"
     )
@@ -350,9 +467,16 @@ def restore_shards(
                 lo = pick(lo_np, hashing.EMPTY_LO)
                 valid = jnp.arange(batch) < n
                 accum = pick(data["accum"]) if "accum" in data else None
-                fulldim = tuple(pick(data[f"full{j}"]) for j in range(n_full))
+
+                def lanes(a):
+                    if lane_slice is None:
+                        return a
+                    off, dl = lane_slice
+                    return a[:, off : off + dl]
+
+                fulldim = tuple(pick(lanes(data[f"full{j}"])) for j in range(n_full))
                 shards[s], ok = _restore_insert(
-                    spec, shards[s], hi, lo, pick(data["values"]), valid,
+                    spec, shards[s], hi, lo, pick(lanes(data["values"])), valid,
                     jnp.int32(step), pick(data["freq"]), pick(data["last"]),
                     accum, fulldim,
                 )

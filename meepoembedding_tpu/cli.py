@@ -194,10 +194,9 @@ def cmd_train(args) -> int:
                     ColShardedTrainer, make_mesh2d,
                 )
 
-                if args.restore or args.ckpt_dir or spill is not None:
+                if spill is not None:
                     raise SystemExit(
-                        "--col-shards training does not support "
-                        "--restore/--ckpt-dir/--spill yet"
+                        "--col-shards training does not support --spill yet"
                     )
                 assert jax.device_count() % col == 0, (
                     f"--col-shards {col} must divide {jax.device_count()} devices"

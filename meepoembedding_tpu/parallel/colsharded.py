@@ -93,6 +93,57 @@ def alloc_col_stacked(spec_local: TableSpec, mesh: Mesh):
     return _alloc()
 
 
+def addressable_shard_trees2(stacked) -> dict:
+    """{(row-shard, column): host-numpy TableShard} for THIS process's
+    devices (2-axis variant of trainer.addressable_shard_trees; zero-size
+    leaves come out replicated and are indexed directly)."""
+    leaves, treedef = jax.tree_util.tree_flatten(stacked)
+    shard_data: list = [dict() for _ in leaves]
+    my: set = set()
+    for li, leaf in enumerate(leaves):
+        for sh in leaf.addressable_shards:
+            s0, c0 = sh.index[0].start, sh.index[1].start
+            if s0 is None or c0 is None:  # replicated along a leading axis
+                continue
+            key = (int(s0), int(c0))
+            my.add(key)
+            shard_data[li][key] = np.asarray(sh.data)[0, 0]
+    out = {}
+    for key in sorted(my):
+        vals = []
+        for li, leaf in enumerate(leaves):
+            if key in shard_data[li]:
+                vals.append(shard_data[li][key])
+            else:
+                vals.append(np.asarray(leaf)[key[0], key[1]])
+        out[key] = jax.tree_util.tree_unflatten(treedef, vals)
+    return out
+
+
+def stacked_from_shards2(shards_by_sc: dict, mesh, template_stacked):
+    """Inverse of addressable_shard_trees2: per-(s,c) host pytrees -> one
+    [S, C, ...] array pytree sharded over both mesh axes (each process
+    contributes only its addressable entries)."""
+    sharding = NamedSharding(mesh, P(SHARD_AXIS, COL_AXIS))
+    leaves_t, treedef = jax.tree_util.tree_flatten(template_stacked)
+    out_leaves = []
+    for li, leaf_t in enumerate(leaves_t):
+        gshape = leaf_t.shape
+        dev_map = sharding.addressable_devices_indices_map(gshape)
+        singles = []
+        for dev, idx in dev_map.items():
+            s = 0 if idx[0].start is None else int(idx[0].start)
+            c = 0 if idx[1].start is None else int(idx[1].start)
+            local = np.asarray(
+                jax.tree_util.tree_leaves(shards_by_sc[(s, c)])[li]
+            )[None, None]
+            singles.append(jax.device_put(local, dev))
+        out_leaves.append(
+            jax.make_array_from_single_device_arrays(gshape, sharding, singles)
+        )
+    return jax.tree_util.tree_unflatten(treedef, out_leaves)
+
+
 def _squeeze2(stacked):
     return jax.tree.map(lambda a: a[0, 0], stacked)
 
@@ -268,6 +319,58 @@ class ColShardedTrainer:
         forbids --spill with --col-shards); a no-op keeps the shared train
         loop's maintenance cadence harmless."""
         return {"evicted": 0, "promoted": 0}
+
+    # --- elastic checkpoint/restore (canonical full-dim format) -------------
+    def save_checkpoint(self, path: str, extras: Optional[dict] = None) -> dict:
+        """Write per-(shard, column) lane-block files; `checkpoint.iter_rows`
+        merges them to full-dim rows, so the checkpoint restores onto ANY
+        layout (single device / row-sharded / different (S, C) grid)."""
+        from meepoembedding_tpu import checkpoint
+
+        mine = addressable_shard_trees2(self.stacked)
+        return checkpoint.save_sharded2d(
+            path, self.spec_local, self.spec.dim, mine, self.S, self.C,
+            self.step, extras=extras,
+            dense={"params": self.params, "opt_state": self.opt_state},
+            is_coordinator=jax.process_index() == 0,
+            barrier=multihost.barrier,
+        )
+
+    def load_checkpoint(self, path: str) -> dict:
+        """Elastic restore from ANY checkpoint layout: every key rehashes to
+        its new owner row-shard; each column chip restores only its lane
+        block (checkpoint.restore_shards lane_slice)."""
+        from meepoembedding_tpu import checkpoint
+
+        sharding = NamedSharding(self.mesh, P(SHARD_AXIS, COL_AXIS))
+        dev_map = sharding.addressable_devices_indices_map((self.S, self.C))
+        mine = sorted({
+            (int(i[0].start or 0), int(i[1].start or 0))
+            for i in dev_map.values()
+        })
+        dl = self.spec_local.dim
+        shards_by_sc = {}
+        manifest = None
+        for c in sorted({c for _, c in mine}):
+            rows = {s for s, c2 in mine if c2 == c}
+            shards, manifest = checkpoint.restore_shards(
+                self.spec_local, path, self.S, only_ids=rows,
+                lane_slice=(c * dl, dl),
+            )
+            for s in rows:
+                shards_by_sc[(s, c)] = shards[s]
+        self.stacked = stacked_from_shards2(
+            shards_by_sc, self.mesh, self.stacked
+        )
+        rep = NamedSharding(self.mesh, P())
+        self.params = jax.device_put(
+            checkpoint.load_dense(path, "params", self.params), rep
+        )
+        self.opt_state = jax.device_put(
+            checkpoint.load_dense(path, "opt_state", self.opt_state), rep
+        )
+        self.step = manifest["step"]
+        return manifest
 
     def _replicated(self, fn, *arrs):
         return jax.jit(fn, out_shardings=NamedSharding(self.mesh, P()))(*arrs)

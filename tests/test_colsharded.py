@@ -111,3 +111,43 @@ def test_col_local_spec_geometry():
     # value storage shrinks by C, key planes unchanged
     assert spec_l.value_rows * 4 == spec.value_rows
     assert spec_l.num_buckets == spec.num_buckets
+
+
+def test_colsharded_checkpoint_roundtrip_and_elastic(mesh2x2, tmp_path):
+    """2-D checkpoints are canonical full-dim: (2x2) save restores (a) onto
+    the same grid bit-exactly, (b) onto a single full-dim device, (c) a 1-D
+    single-device checkpoint restores onto the 2-D grid."""
+    run, table, model, data = _cfgs(dim=64)
+    tr = ColShardedTrainer(run, table, model, mesh2x2)
+    batches = list(SyntheticStream(data).batches(4))
+    for b in batches:
+        tr.train_step(b)
+    ck = str(tmp_path / "ck2d")
+    m = tr.save_checkpoint(ck)
+    assert m["col_shards"] == 2 and m["dim"] == 64
+
+    # (b) full-dim single-device restore reads the merged rows (compare
+    # evals BEFORE any further training mutates tr)
+    t1 = Trainer(run, table, model)
+    t1.load_checkpoint(ck)
+    assert t1.step == m["step"]
+    e1 = t1.eval_step(batches[1])["loss"]
+    e2 = tr.eval_step(batches[1])["loss"]
+    np.testing.assert_allclose(e1, e2, rtol=2e-3, atol=2e-4)
+
+    # (a) same-grid roundtrip: bit-exact resume (losses identical afterwards)
+    tr2 = ColShardedTrainer(run, table, model, mesh2x2)
+    tr2.load_checkpoint(ck)
+    assert tr2.step == tr.step and len(tr2) == len(tr)
+    l1 = tr.train_step(batches[0])["loss"]
+    l2 = tr2.train_step(batches[0])["loss"]
+    np.testing.assert_allclose(l1, l2, rtol=1e-6, atol=1e-7)
+
+    # (c) 1-D checkpoint -> 2-D grid (lane_slice restore path)
+    ck1 = str(tmp_path / "ck1d")
+    t1.save_checkpoint(ck1)
+    tr3 = ColShardedTrainer(run, table, model, mesh2x2)
+    tr3.load_checkpoint(ck1)
+    assert len(tr3) == int(np.asarray(t1.shard.cnt).sum())  # rows preserved
+    e3 = tr3.eval_step(batches[1])["loss"]
+    np.testing.assert_allclose(e3, e1, rtol=2e-3, atol=2e-4)
