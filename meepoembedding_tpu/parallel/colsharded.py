@@ -315,10 +315,37 @@ class ColShardedTrainer:
         return {"loss": float(loss), "logits": logits}
 
     def maintenance(self) -> dict:
-        """Eviction/spill is not wired for the 2-D layout yet (the CLI
-        forbids --spill with --col-shards); a no-op keeps the shared train
-        loop's maintenance cadence harmless."""
-        return {"evicted": 0, "promoted": 0}
+        """Eviction tick for the 2-D layout (capacity control; SURVEY.md
+        §3.4). evict_pass is a pure function of the key/score planes, which
+        are identical across columns, so column shards evict the SAME rows in
+        lockstep — each freeing its own lane block. Spill of the export is
+        not wired (the CLI forbids --spill with --col-shards): evicted rows
+        are dropped, like the single-device no-spill configuration."""
+        from meepoembedding_tpu.table import xla_ops
+
+        if self.spec.policy.evict_policy == "none":
+            return {"evicted": 0, "promoted": 0}
+        spec_l = self.spec_local
+        sp2 = P(SHARD_AXIS, COL_AXIS)
+        evict = jax.shard_map(
+            lambda stacked, step: jax.tree.map(
+                lambda a: a[None, None],
+                xla_ops.evict_pass(spec_l, _squeeze2(stacked), step),
+            ),
+            mesh=self.mesh,
+            in_specs=(sp2, P()),
+            out_specs=sp2,
+            check_vma=False,
+        )
+        self.stacked, export = jax.jit(evict, donate_argnums=(0,))(
+            self.stacked, jnp.int32(self.step)
+        )
+        evicted = int(
+            self._replicated(
+                lambda c: jnp.sum(c[:, 0]), export.count
+            )
+        )
+        return {"evicted": evicted, "promoted": 0}
 
     # --- elastic checkpoint/restore (canonical full-dim format) -------------
     def save_checkpoint(self, path: str, extras: Optional[dict] = None) -> dict:

@@ -151,3 +151,38 @@ def test_colsharded_checkpoint_roundtrip_and_elastic(mesh2x2, tmp_path):
     assert len(tr3) == int(np.asarray(t1.shard.cnt).sum())  # rows preserved
     e3 = tr3.eval_step(batches[1])["loss"]
     np.testing.assert_allclose(e3, e1, rtol=2e-3, atol=2e-4)
+
+
+def test_colsharded_eviction_lockstep(mesh2x2):
+    """TTL eviction on the 2-D grid: columns evict the same rows in
+    lockstep, and every (s, c) shard stays invariant-clean."""
+    from meepoembedding_tpu.config import PolicyConfig
+    from meepoembedding_tpu.parallel.colsharded import addressable_shard_trees2
+    from meepoembedding_tpu.table import xla_ops
+    from meepoembedding_tpu.table.layout import TableShard
+
+    run, table, model, data = _cfgs(dim=64)
+    table = dataclasses.replace(
+        table, policy=PolicyConfig(evict_policy="ttl", ttl_steps=2)
+    )
+    tr = ColShardedTrainer(run, table, model, mesh2x2)
+    batches = list(SyntheticStream(data).batches(6))
+    for b in batches[:4]:
+        tr.train_step(b)
+    rows_before = len(tr)
+    tr.step += 10  # age everything past the TTL
+    out = tr.maintenance()
+    assert out["evicted"] > 0
+    assert rows_before - len(tr) == out["evicted"]
+    st = jax.device_get(tr.stacked)
+    for s in range(tr.S):
+        np.testing.assert_array_equal(st.cnt[s, 0], st.cnt[s, 1])
+        np.testing.assert_array_equal(st.key_hi[s, 0], st.key_hi[s, 1])
+    for (s, c), shard_np in addressable_shard_trees2(tr.stacked).items():
+        shard_dev = jax.tree.map(jnp.asarray, TableShard(*shard_np))
+        viol = jax.jit(xla_ops.check_invariants, static_argnums=(0,))(
+            tr.spec_local, shard_dev
+        )
+        assert all(int(v) == 0 for v in viol.values()), (s, c, viol)
+    # training continues cleanly after eviction (slots get re-inserted)
+    tr.train_step(batches[4])
