@@ -304,7 +304,14 @@ class ColShardedTrainer:
             jnp.int32(self.step),
         )
         self.step += 1
-        self.auc.update(np.asarray(logits), np.asarray(batch["label"]))
+        # AUC over THIS process's slice: logits are replicated across the
+        # column axis, so dedup addressable shards by batch-row start
+        by_start = {}
+        for sh in logits.addressable_shards:
+            st0 = sh.index[0].start
+            by_start.setdefault(0 if st0 is None else int(st0), np.asarray(sh.data))
+        local_logits = np.concatenate([by_start[k] for k in sorted(by_start)])
+        self.auc.update(local_logits, np.asarray(batch["label"]))
         return {"loss": float(loss), "route_drops": int(drops)}
 
     def eval_step(self, batch: dict) -> dict:

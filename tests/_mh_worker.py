@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--restore", default=None)
     ap.add_argument("--die-after", type=int, default=0)
     ap.add_argument("--save-every", type=int, default=0)
+    ap.add_argument("--col", type=int, default=1,
+                    help="column shards: 2-D (rows x col) grid over all devices")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={args.devs}"
@@ -43,14 +45,22 @@ def main():
     from meepoembedding_tpu.parallel.mesh import make_mesh
     from meepoembedding_tpu.parallel.trainer import ShardedTrainer
 
-    global_batch = 16 * S
+    rows = S // args.col
+    global_batch = 16 * rows
     run = RunConfig(batch_size=global_batch, steps=args.steps)
     table = TableConfig(dim=8, capacity=1 << 12)
     model = ModelConfig(
         kind="ctr_mlp", num_dense_features=4, num_sparse_features=3,
         embedding_dim=8, top_mlp=(16, 1),
     )
-    tr = ShardedTrainer(run, table, model, mesh=make_mesh(S))
+    if args.col > 1:
+        from meepoembedding_tpu.parallel.colsharded import (
+            ColShardedTrainer, make_mesh2d,
+        )
+
+        tr = ColShardedTrainer(run, table, model, make_mesh2d(rows, args.col))
+    else:
+        tr = ShardedTrainer(run, table, model, mesh=make_mesh(S))
     if args.restore:
         tr.load_checkpoint(args.restore)
 

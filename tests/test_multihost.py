@@ -130,3 +130,30 @@ def test_worker_death_and_recovery(tmp_path):
     assert r["step"] == 4
     assert r["rows"] > 0
     assert np.isfinite(r["loss"])
+
+
+@pytest.mark.slow
+def test_two_process_colsharded_training_and_checkpoint(tmp_path):
+    """2 processes x 2 devices as a (2 rows x 2 cols) grid: row-sharding
+    spans processes (exchange over DCN), columns stay process-local; the 2-D
+    checkpoint commits col files and restores onto a single device."""
+    ckpt = str(tmp_path / "ck2d")
+    outs = _run_job(2, 2, ckpt, ["--steps", "3", "--col", "2"])
+    results = []
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed:\n{err[-3000:]}"
+        results.append(json.loads(out.strip().splitlines()[-1]))
+    assert results[0]["rows"] == results[1]["rows"] > 0
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-5)
+    with open(os.path.join(ckpt, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["num_shards"] == 2 and m["col_shards"] == 2 and m["dim"] == 8
+    assert sum(m["counts"]) == results[0]["rows"]
+    # the 2-D checkpoint reads back as canonical full-dim rows
+    from meepoembedding_tpu import checkpoint
+
+    total = 0
+    for data in checkpoint.iter_rows(ckpt):
+        assert data["values"].shape[1] == 8
+        total += data["ids"].shape[0]
+    assert total == results[0]["rows"]
