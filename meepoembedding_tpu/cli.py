@@ -145,7 +145,8 @@ def _make_spill(args, table_cfg):
 
 # --- subcommands ----------------------------------------------------------------
 
-def make_train_stream(data: str, run_cfg, model_cfg, host_id: int, num_hosts: int):
+def make_train_stream(data: str, run_cfg, model_cfg, host_id: int, num_hosts: int,
+                      bag_len: int = 1):
     """Multi-host data sharding (SURVEY.md C17): each process reads a DISJOINT
     slice of the input. For Criteo this is line-level host sharding; the
     synthetic stream decorrelates by seed. Single-process runs are
@@ -158,6 +159,7 @@ def make_train_stream(data: str, run_cfg, model_cfg, host_id: int, num_hosts: in
             num_sparse=model_cfg.num_sparse_features,
             num_dense=model_cfg.num_dense_features,
             seed=run_cfg.seed + host_id,
+            bag_len=bag_len,
         ))
     from meepoembedding_tpu.data.criteo import CriteoStream
 
@@ -173,7 +175,8 @@ def cmd_train(args) -> int:
     run_cfg, table_cfg, model_cfg = load_configs(args.config, args.set)
     model_cfg = dataclasses.replace(model_cfg, embedding_dim=table_cfg.dim)
     stream = make_train_stream(
-        args.data, run_cfg, model_cfg, jax.process_index(), jax.process_count()
+        args.data, run_cfg, model_cfg, jax.process_index(), jax.process_count(),
+        bag_len=args.bag_len,
     )
 
     spill = _make_spill(args, table_cfg)
@@ -514,6 +517,9 @@ def main(argv=None) -> int:
                    help="dotted overrides, e.g. table.capacity=1e6 run.steps=200")
     t.add_argument("--data", default="synthetic",
                    help="'synthetic' or comma-separated Criteo TSV paths")
+    t.add_argument("--bag-len", type=int, default=1,
+                   help="synthetic multi-hot bag length L (>1 -> [B,S,L] ids "
+                        "pooled by model.combiner; see ops/pooling.py)")
     t.add_argument("--distributed", action="store_true",
                    help="row-shard the table over all local devices")
     t.add_argument("--spill", choices=["none", "host", "python", "disk", "redis"],

@@ -126,6 +126,10 @@ class ModelConfig:
     num_dense_features: int = 13
     num_sparse_features: int = 26
     embedding_dim: int = 32
+    # Bag combiner for multi-hot features (ids shaped [B, S, L], padded with
+    # the invalid sentinel): "sum" | "mean" | "sqrtn". Ignored for one-hot
+    # [B, S] id batches. See ops/pooling.py.
+    combiner: str = "mean"
     bottom_mlp: Tuple[int, ...] = (128, 64, 32)
     top_mlp: Tuple[int, ...] = (256, 128, 1)
     num_cross_layers: int = 3  # dcn only

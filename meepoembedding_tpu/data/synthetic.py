@@ -30,6 +30,10 @@ class SyntheticConfig:
     zipf_a: float = 1.2
     seed: int = 0
     drift_per_step: int = 0  # ids shift by this much per step (streaming CTR)
+    # bag_len > 1 emits multi-hot id BAGS [B, S, L] padded with the invalid
+    # sentinel (0..L real ids per bag); labels plant the MEAN latent weight
+    # per bag so a mean-combiner model provably learns (ops/pooling.py).
+    bag_len: int = 1
 
 
 class SyntheticStream:
@@ -56,15 +60,28 @@ class SyntheticStream:
     def batches(self, steps: int) -> Iterator[dict]:
         cfg = self.cfg
         for step in range(steps):
-            b, s = cfg.batch_size, cfg.num_sparse
-            vals = self._zipf(b * s).reshape(b, s)
+            b, s, L = cfg.batch_size, cfg.num_sparse, max(1, cfg.bag_len)
+            vals = self._zipf(b * s * L).reshape(b, s, L)
             if cfg.drift_per_step:
                 vals = vals + np.int64(step * cfg.drift_per_step)
-            feat = np.arange(s, dtype=np.int64)[None, :]
+            feat = np.arange(s, dtype=np.int64)[None, :, None]
             ids = (feat << FEATURE_SHIFT) | vals
             dense = self.rng.normal(size=(b, cfg.num_dense)).astype(np.float32)
+            if cfg.bag_len > 1:
+                # variable-length bags: 0..L real ids, sentinel-padded; the
+                # per-feature signal is the bag MEAN latent (mean combiner)
+                cnt = self.rng.integers(0, L + 1, size=(b, s))
+                mask = np.arange(L)[None, None, :] < cnt[..., None]
+                lat = np.where(mask, self._latent(ids), 0.0)
+                per_feat = lat.sum(-1) / np.maximum(cnt, 1)
+                from meepoembedding_tpu.table.hashing import EMPTY_ID
+
+                ids = np.where(mask, ids, EMPTY_ID)
+            else:
+                ids = ids[:, :, 0]
+                per_feat = self._latent(ids)
             logit = (
-                self._latent(ids).sum(axis=1) * (2.0 / np.sqrt(s))
+                per_feat.sum(axis=1) * (2.0 / np.sqrt(s))
                 + dense[:, 0].astype(np.float64) * 0.5
             )
             p = 1.0 / (1.0 + np.exp(-logit))

@@ -26,7 +26,7 @@ from meepoembedding_tpu.config import ModelConfig, RunConfig, TableConfig
 from meepoembedding_tpu.metrics import JsonlLogger, Meter, StreamingAUC
 from meepoembedding_tpu.models import build_model
 from meepoembedding_tpu.models.common import bce_with_logits
-from meepoembedding_tpu.ops import dedup, optim
+from meepoembedding_tpu.ops import dedup, optim, pooling
 from meepoembedding_tpu.parallel import multihost
 from meepoembedding_tpu.parallel import sharded_table as st
 from meepoembedding_tpu.parallel.mesh import SHARD_AXIS, make_mesh
@@ -89,7 +89,7 @@ def stacked_from_shards(shards_by_id: dict, mesh, template_stacked):
 
 
 def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap: int,
-                      a2a_factor: float = 1.25):
+                      a2a_factor: float = 1.25, combiner: str = "mean"):
     """Build the jitted sharded train step. Batch arrays carry the GLOBAL
     batch on axis 0 (sharded over `d`); table state is stacked [S, ...].
     Also returns this step's global route_drops count so the trainer can
@@ -99,8 +99,8 @@ def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap:
 
     def step_impl(stacked, params, opt_state, dense, hi, lo, label, step):
         shard = st.squeeze_shard(stacked)
-        b, s = hi.shape
         uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), unique_cap)
+        bag_valid = hashing.is_valid(hi, lo) if hi.ndim == 3 else None
         drops0 = shard.counters[st.ROUTE_DROPS]
         shard, emb_u, ctx = st.exchange_lookup(
             spec, shard, uniq.hi, uniq.lo, uniq.valid, step, SHARD_AXIS, cap, train=True
@@ -110,7 +110,9 @@ def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap:
         miss_out = tuple(a[None] for a in (ctx.miss_hi, ctx.miss_lo, ctx.miss))
 
         def loss_fn(params, emb_u):
-            emb = emb_u[uniq.inverse].reshape(b, s, spec.dim)
+            emb = pooling.pool_or_reshape(
+                emb_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
+            )
             logits = model.apply(params, dense, emb)
             # 1/S so that grads carry GLOBAL-batch-mean scale: sparse grads
             # are psum'd on owners by construction, dense grads psum'd below.
@@ -136,19 +138,22 @@ def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap:
     return jax.jit(fn, donate_argnums=(0,))
 
 
-def make_sharded_eval(spec: TableSpec, model, mesh, unique_cap: int, a2a_factor: float = 1.25):
+def make_sharded_eval(spec: TableSpec, model, mesh, unique_cap: int, a2a_factor: float = 1.25,
+                      combiner: str = "mean"):
     S = mesh.shape[SHARD_AXIS]
     cap = st.a2a_capacity(unique_cap, S, a2a_factor)
 
     def eval_impl(stacked, params, dense, hi, lo, label):
         shard = st.squeeze_shard(stacked)
-        b, s = hi.shape
         uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), unique_cap)
+        bag_valid = hashing.is_valid(hi, lo) if hi.ndim == 3 else None
         _, emb_u, _ = st.exchange_lookup(
             spec, shard, uniq.hi, uniq.lo, uniq.valid, jnp.int32(0), SHARD_AXIS, cap,
             train=False,
         )
-        emb = emb_u[uniq.inverse].reshape(b, s, spec.dim)
+        emb = pooling.pool_or_reshape(
+            emb_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
+        )
         logits = model.apply(params, dense, emb)
         loss = lax.pmean(bce_with_logits(logits, label), SHARD_AXIS)
         return loss, logits
@@ -248,17 +253,32 @@ class ShardedTrainer:
         self.auc = StreamingAUC()
         per_dev_ids = run_cfg.batch_size // self.S * model_cfg.num_sparse_features
         self.unique_cap = run_cfg.unique_cap or per_dev_ids
+        self._auto_ucap = run_cfg.unique_cap is None
+        self._bag_len = 1
         self.a2a_factor = run_cfg.a2a_factor
+        self.combiner = model_cfg.combiner
         self._build_step_fns()
 
     def _build_step_fns(self):
         self._step_fn = make_sharded_step(
             self.spec, self.model, self.mesh, self.run_cfg.dense_learning_rate,
-            self.unique_cap, self.a2a_factor,
+            self.unique_cap, self.a2a_factor, self.combiner,
         )
         self._eval_fn = make_sharded_eval(
-            self.spec, self.model, self.mesh, self.unique_cap, self.a2a_factor
+            self.spec, self.model, self.mesh, self.unique_cap, self.a2a_factor,
+            self.combiner,
         )
+
+    def _maybe_grow_ucap(self, ids: np.ndarray):
+        """Multi-hot batches carry L ids per feature; the default dedup cap
+        was sized for one. Scale it to the observed bag length (recompiles
+        once per new L; an explicit run_cfg.unique_cap disables this)."""
+        L = ids.shape[2] if ids.ndim == 3 else 1
+        if self._auto_ucap and L != self._bag_len:
+            self._bag_len = L
+            base = self.run_cfg.batch_size // self.S * self.model.cfg.num_sparse_features
+            self.unique_cap = base * L
+            self._build_step_fns()
 
     def _device_batch(self, batch):
         """Per-process batch arrays -> global sharded arrays. In multi-process
@@ -274,6 +294,7 @@ class ShardedTrainer:
         )
 
     def train_step(self, batch: dict) -> dict:
+        self._maybe_grow_ucap(np.asarray(batch["ids"]))
         dense, hi, lo, label = self._device_batch(batch)
         (
             self.stacked, self.params, self.opt_state, loss, logits, drops,
@@ -311,6 +332,7 @@ class ShardedTrainer:
         return {"loss": float(loss)}
 
     def eval_step(self, batch: dict) -> dict:
+        self._maybe_grow_ucap(np.asarray(batch["ids"]))
         dense, hi, lo, label = self._device_batch(batch)
         loss, logits = self._eval_fn(self.stacked, self.params, dense, hi, lo, label)
         return {"loss": float(loss), "logits": logits}

@@ -25,7 +25,7 @@ from meepoembedding_tpu.config import ModelConfig, RunConfig, TableConfig
 from meepoembedding_tpu.metrics import JsonlLogger, Meter, StreamingAUC
 from meepoembedding_tpu.models import build_model
 from meepoembedding_tpu.models.common import bce_with_logits
-from meepoembedding_tpu.ops import dedup, optim
+from meepoembedding_tpu.ops import dedup, optim, pooling
 from meepoembedding_tpu.table import hashing, xla_ops
 from meepoembedding_tpu.table.layout import TableSpec, alloc_shard
 
@@ -62,12 +62,15 @@ class Trainer:
     def _build_step(self):
         spec, model = self.spec, self.model
         lr = self.run_cfg.dense_learning_rate
+        combiner = self.model_cfg.combiner
 
         @partial(jax.jit, donate_argnums=(0,))
         def step_fn(shard, params, opt_state, dense, hi, lo, label, step):
-            b, s = hi.shape
-            cap = self._unique_cap((b, s))
+            cap = self._unique_cap(hi.shape)
             uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), cap)
+            # multi-hot bags ([B, S, L] ids, sentinel-padded) pool per feature
+            # after the gather; one-hot [B, S] batches pass through unchanged
+            bag_valid = hashing.is_valid(hi, lo) if hi.ndim == 3 else None
             if spec.dim <= 128:
                 shard, ctx = xla_ops.lookup_train(
                     spec, shard, uniq.hi, uniq.lo, uniq.valid, step
@@ -78,9 +81,8 @@ class Trainer:
                 # rows_for_batch keeps the window matmuls at U, not n
 
                 def loss_fn(params, g128):
-                    emb = xla_ops.rows_for_batch(
-                        spec, g128, ctx.sub, uniq.inverse
-                    ).reshape(b, s, spec.dim)
+                    flat = xla_ops.rows_for_batch(spec, g128, ctx.sub, uniq.inverse)
+                    emb = pooling.pool_or_reshape(flat, hi, bag_valid, spec.dim, combiner)
                     logits = model.apply(params, dense, emb)
                     return bce_with_logits(logits, label), logits
 
@@ -95,7 +97,9 @@ class Trainer:
                 rows_u = xla_ops.lookup_rows(spec, shard, slot)
 
                 def loss_fn(params, rows_u):
-                    emb = rows_u[uniq.inverse].reshape(b, s, spec.dim)
+                    emb = pooling.pool_or_reshape(
+                        rows_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
+                    )
                     logits = model.apply(params, dense, emb)
                     return bce_with_logits(logits, label), logits
 
@@ -110,15 +114,18 @@ class Trainer:
 
     def _build_eval(self):
         spec, model = self.spec, self.model
+        combiner = self.model_cfg.combiner
 
         @jax.jit
         def eval_fn(shard, params, dense, hi, lo, label):
-            b, s = hi.shape
-            cap = self._unique_cap((b, s))
+            cap = self._unique_cap(hi.shape)
             uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), cap)
+            bag_valid = hashing.is_valid(hi, lo) if hi.ndim == 3 else None
             pr = xla_ops.probe(spec, shard, uniq.hi, uniq.lo, uniq.valid)
             rows = xla_ops.lookup_rows(spec, shard, jnp.where(pr.found, pr.slot, -1))
-            emb = rows[uniq.inverse].reshape(b, s, spec.dim)
+            emb = pooling.pool_or_reshape(
+                rows[uniq.inverse], hi, bag_valid, spec.dim, combiner
+            )
             logits = model.apply(params, dense, emb)
             return bce_with_logits(logits, label), logits
 
