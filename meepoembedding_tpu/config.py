@@ -20,9 +20,11 @@ def _pow2(x: int) -> bool:
 class OptimizerConfig:
     """Sparse optimizer applied in-place to table rows (SURVEY.md C4).
 
-    kind: one of "sgd", "rowwise_adagrad", "adagrad", "adam".
+    kind: one of "sgd", "rowwise_adagrad", "adagrad", "adam", "ftrl".
     Rowwise variants keep ONE scalar of state per row (the standard trick for
     huge embedding tables); full variants keep per-element state planes.
+    FTRL-Proximal (the classic CTR sparse optimizer) keeps z (linear) and n
+    (squared-grad) planes; l1 > 0 drives untouched-signal weights to exact 0.
     """
 
     kind: str = "rowwise_adagrad"
@@ -31,12 +33,17 @@ class OptimizerConfig:
     beta1: float = 0.9  # adam
     beta2: float = 0.999  # adam
     initial_accumulator: float = 0.1  # adagrad family
+    l1: float = 0.0  # ftrl L1 strength
+    l2: float = 0.0  # ftrl L2 strength
+    ftrl_beta: float = 1.0  # ftrl denominator smoothing
 
     def num_rowwise_slots(self) -> int:
-        return {"sgd": 0, "rowwise_adagrad": 1, "adagrad": 0, "adam": 0}[self.kind]
+        return {"sgd": 0, "rowwise_adagrad": 1, "adagrad": 0, "adam": 0,
+                "ftrl": 0}[self.kind]
 
     def num_fulldim_slots(self) -> int:
-        return {"sgd": 0, "rowwise_adagrad": 0, "adagrad": 1, "adam": 2}[self.kind]
+        return {"sgd": 0, "rowwise_adagrad": 0, "adagrad": 1, "adam": 2,
+                "ftrl": 2}[self.kind]
 
 
 @dataclasses.dataclass(frozen=True)

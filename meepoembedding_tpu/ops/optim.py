@@ -196,6 +196,31 @@ def apply_sparse_grads(
         values = row_apply_delta(spec, shard.values, slot, delta, enabled)
         return shard._replace(values=values, opt_fulldim=(m_plane, v_plane))
 
+    if kind == "ftrl":
+        # FTRL-Proximal (McMahan et al., "Ad Click Prediction: a View from
+        # the Trenches"), the classic sparse CTR optimizer. The weight is a
+        # CLOSED FORM of (z, n) — w = prox(z, n) — so the values plane is
+        # updated by the exact delta w_new - w_old (stays in the fast
+        # ADD-form row scatter; evict's subtract-to-zero invariant holds).
+        z_plane, n_plane = shard.opt_fulldim
+        z_old = gather_values(spec, z_plane, slot).astype(jnp.float32)
+        n_old = gather_values(spec, n_plane, slot).astype(jnp.float32)
+        w_old = gather_values(spec, shard.values, slot).astype(jnp.float32)
+        alpha = opt.learning_rate
+        n_new = n_old + grad * grad
+        sigma = (jnp.sqrt(n_new) - jnp.sqrt(n_old)) / alpha
+        z_new = z_old + grad - sigma * w_old
+        denom = (opt.ftrl_beta + jnp.sqrt(n_new)) / alpha + opt.l2
+        w_new = jnp.where(
+            jnp.abs(z_new) > opt.l1,
+            (jnp.sign(z_new) * opt.l1 - z_new) / denom,
+            0.0,
+        )
+        z_plane = row_apply_delta(spec, z_plane, slot, z_new - z_old, enabled)
+        n_plane = row_apply_delta(spec, n_plane, slot, n_new - n_old, enabled)
+        values = row_apply_delta(spec, shard.values, slot, w_new - w_old, enabled)
+        return shard._replace(values=values, opt_fulldim=(z_plane, n_plane))
+
     raise ValueError(f"unknown sparse optimizer: {kind}")
 
 

@@ -107,6 +107,18 @@ class OracleTable:
                 self.rows[k] -= (
                     o.learning_rate * self.m[k] / np.sqrt(self.accum[k] + o.eps * o.eps)
                 )
+            elif o.kind == "ftrl":
+                # accum holds n (sum g^2), m holds z (FTRL linear state)
+                n_old = self.accum[k]
+                n_new = n_old + g * g
+                sigma = (np.sqrt(n_new) - np.sqrt(n_old)) / o.learning_rate
+                self.m[k] = self.m[k] + g - sigma * self.rows[k]
+                denom = (o.ftrl_beta + np.sqrt(n_new)) / o.learning_rate + o.l2
+                z = self.m[k]
+                self.rows[k] = np.where(
+                    np.abs(z) > o.l1, (np.sign(z) * o.l1 - z) / denom, 0.0
+                )
+                self.accum[k] = n_new
             else:
                 raise ValueError(o.kind)
 

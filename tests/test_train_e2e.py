@@ -104,3 +104,27 @@ def test_eval_does_not_mutate():
     batch = next(SyntheticStream(data).batches(1))
     tr.eval_step(batch)
     assert int(np.asarray(tr.shard.cnt).sum()) == n_before
+
+
+def test_ftrl_trains_and_l1_sparsifies():
+    """FTRL-Proximal through the fused train step: learns, and with l1 > 0
+    a meaningful fraction of trained weight coordinates are EXACTLY zero
+    (the closed-form prox snaps |z| <= l1 coordinates to 0)."""
+    from meepoembedding_tpu.table import xla_ops
+
+    run, table, model, data = _cfgs(batch=256)
+    table = TableConfig(
+        dim=8, capacity=1 << 14,
+        optimizer=OptimizerConfig(kind="ftrl", learning_rate=0.1, l1=0.02, l2=0.1),
+    )
+    tr = train(run, table, model, SyntheticStream(data), logger=JsonlLogger(echo=False))
+    auc = tr.auc.compute()
+    assert auc > 0.55, f"ftrl failed to learn: {auc}"
+    spec, shard = tr.spec, tr.shard
+    live = np.asarray(xla_ops.live_mask(shard))
+    slots = np.nonzero(live.reshape(-1))[0][:512].astype(np.int32)
+    import jax.numpy as jnp
+
+    rows = np.asarray(xla_ops.lookup_rows(spec, shard, jnp.asarray(slots)))
+    frac_zero = float((rows == 0.0).mean())
+    assert frac_zero > 0.05, f"l1 produced no exact zeros: {frac_zero}"
