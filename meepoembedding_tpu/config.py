@@ -129,7 +129,7 @@ class TableConfig:
 class ModelConfig:
     """DLRM/CTR model geometry (SURVEY.md C16)."""
 
-    kind: str = "dlrm"  # "dlrm" | "ctr_mlp" | "dcn"
+    kind: str = "dlrm"  # "dlrm" | "ctr_mlp" | "dcn" | "deepfm"
     num_dense_features: int = 13
     num_sparse_features: int = 26
     embedding_dim: int = 32

@@ -1,5 +1,6 @@
 from meepoembedding_tpu.models.ctr_mlp import CtrMlp  # noqa: F401
 from meepoembedding_tpu.models.dcn import DCNv2  # noqa: F401
+from meepoembedding_tpu.models.deepfm import DeepFM  # noqa: F401
 from meepoembedding_tpu.models.dlrm import DLRM  # noqa: F401
 
 
@@ -10,4 +11,6 @@ def build_model(cfg):
         return CtrMlp(cfg)
     if cfg.kind == "dcn":
         return DCNv2(cfg)
+    if cfg.kind == "deepfm":
+        return DeepFM(cfg)
     raise ValueError(f"unknown model kind: {cfg.kind}")

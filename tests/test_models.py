@@ -19,7 +19,7 @@ def _cfg(kind):
 
 
 def test_shapes_and_grads():
-    for kind in ("dlrm", "ctr_mlp", "dcn"):
+    for kind in ("dlrm", "ctr_mlp", "dcn", "deepfm"):
         cfg = _cfg(kind)
         m = build_model(cfg)
         params = m.init(jax.random.PRNGKey(0))
@@ -88,6 +88,37 @@ def test_dcn_trains_e2e():
     model = ModelConfig(
         kind="dcn", num_dense_features=4, num_sparse_features=3,
         embedding_dim=8, top_mlp=(32, 1), num_cross_layers=2,
+    )
+    stream = SyntheticStream(SyntheticConfig(
+        num_dense=4, num_sparse=3, batch_size=256, vocab_per_feature=500, seed=3,
+    ))
+    tr = train(run, table, model, stream)
+    assert tr.auc.compute() > 0.54, tr.auc.compute()
+
+
+def test_deepfm_fm_term_is_pairwise_sum():
+    """FM identity: 0.5*((sum e)^2 - sum e^2) == sum_{i<j} <e_i, e_j>."""
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(4, 5, 8)).astype(np.float32)
+    s = emb.sum(axis=1)
+    fm = 0.5 * (np.sum(s * s, -1) - np.sum((emb * emb).sum(axis=1), -1))
+    brute = np.zeros(4)
+    for i in range(5):
+        for j in range(i + 1, 5):
+            brute += np.sum(emb[:, i] * emb[:, j], axis=-1)
+    np.testing.assert_allclose(fm, brute, rtol=1e-4)
+
+
+def test_deepfm_trains_e2e():
+    from meepoembedding_tpu.config import RunConfig, TableConfig
+    from meepoembedding_tpu.data.synthetic import SyntheticConfig, SyntheticStream
+    from meepoembedding_tpu.train import train
+
+    run = RunConfig(batch_size=256, steps=40, log_every=20, dense_learning_rate=3e-3)
+    table = TableConfig(dim=8, capacity=1 << 14)
+    model = ModelConfig(
+        kind="deepfm", num_dense_features=4, num_sparse_features=3,
+        embedding_dim=8, top_mlp=(32, 1),
     )
     stream = SyntheticStream(SyntheticConfig(
         num_dense=4, num_sparse=3, batch_size=256, vocab_per_feature=500, seed=3,
