@@ -488,6 +488,54 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Offline evaluation from a checkpoint: restore table + tower, stream a
+    labeled dataset with probe-only lookups (no insert-on-miss — unknown ids
+    score with zero embeddings, exactly the serving semantics), and report
+    AUC + mean loss as one JSON line. The holdout half of SURVEY.md C16's
+    'AUC eval'; `serve` is the unlabeled scoring variant."""
+    import jax
+
+    run_cfg, table_cfg, model_cfg = load_configs(args.config, args.set)
+    model_cfg = dataclasses.replace(model_cfg, embedding_dim=table_cfg.dim)
+    stream = make_train_stream(
+        args.data, run_cfg, model_cfg, 0, 1, bag_len=getattr(args, "bag_len", 1)
+    )
+    if getattr(args, "distributed", False) and jax.device_count() > 1:
+        from meepoembedding_tpu.parallel.trainer import ShardedTrainer
+
+        tr = ShardedTrainer(run_cfg, table_cfg, model_cfg)
+    else:
+        from meepoembedding_tpu.train import Trainer
+
+        tr = Trainer(run_cfg, table_cfg, model_cfg)
+    tr.load_checkpoint(args.ckpt)
+    from meepoembedding_tpu.metrics import StreamingAUC
+
+    auc = StreamingAUC()
+    losses = []
+    n = 0
+    for batch in stream.batches(run_cfg.steps):
+        out = tr.eval_step(batch)
+        logits = out["logits"]
+        if hasattr(logits, "addressable_shards"):
+            logits = np.concatenate([
+                np.asarray(s.data) for s in sorted(
+                    logits.addressable_shards, key=lambda s: s.index[0].start or 0
+                )
+            ])
+        auc.update(np.asarray(logits), np.asarray(batch["label"]))
+        losses.append(float(out["loss"]))
+        n += len(np.asarray(batch["label"]))
+    print(json.dumps({
+        "auc": float(auc.compute()),
+        "mean_loss": float(np.mean(losses)) if losses else None,
+        "examples": n,
+        "batches": len(losses),
+    }))
+    return 0
+
+
 def cmd_ckpt_inspect(args) -> int:
     from meepoembedding_tpu import checkpoint
 
@@ -554,6 +602,18 @@ def main(argv=None) -> int:
     sv.add_argument("--distributed", action="store_true",
                     help="row-shard the restored table over all local devices")
     sv.set_defaults(fn=cmd_serve)
+
+    ev = sub.add_parser("eval", help="offline AUC/loss eval from a checkpoint")
+    ev.add_argument("--config", help="YAML config file")
+    ev.add_argument("--set", nargs="*", default=[], metavar="sec.key=val")
+    ev.add_argument("--ckpt", required=True, help="checkpoint directory")
+    ev.add_argument("--data", default="synthetic",
+                    help="'synthetic' or comma-separated Criteo TSV paths")
+    ev.add_argument("--bag-len", type=int, default=1,
+                    help="synthetic multi-hot bag length L")
+    ev.add_argument("--distributed", action="store_true",
+                    help="restore row-sharded over all local devices")
+    ev.set_defaults(fn=cmd_eval)
 
     c = sub.add_parser("ckpt-inspect", help="print checkpoint manifest + stats")
     c.add_argument("path")

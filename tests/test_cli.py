@@ -207,3 +207,37 @@ def test_colsharded_train_cli():
         capture_output=True, text=True, timeout=600, env=env,
     )
     assert out.returncode != 0
+
+
+def test_eval_cli(tmp_path):
+    """`eval` restores a checkpoint and reports holdout AUC/loss with
+    probe-only lookups; single-device and distributed restores must agree
+    on the same holdout stream."""
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    common = [
+        "--set", "run.steps=6", "run.batch_size=64", "table.capacity=4096",
+        "table.dim=8", "model.kind=ctr_mlp", "model.num_sparse_features=3",
+        "model.top_mlp=16,1",
+    ]
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "train", "--data", "synthetic",
+         "--ckpt-dir", str(tmp_path / "ck"), *common],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    evals = {}
+    for extra in ([], ["--distributed"]):
+        e = dict(env)
+        if extra:
+            e["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        out = subprocess.run(
+            [sys.executable, "-m", "meepoembedding_tpu", "eval",
+             "--ckpt", str(tmp_path / "ck"), "--data", "synthetic", *extra,
+             *common, "run.seed=5"],
+            capture_output=True, text=True, timeout=300, env=e,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        evals[bool(extra)] = json.loads(out.stdout.strip().splitlines()[-1])
+    assert evals[False]["examples"] == 6 * 64
+    assert 0.0 <= evals[False]["auc"] <= 1.0
+    assert abs(evals[False]["auc"] - evals[True]["auc"]) < 1e-9
