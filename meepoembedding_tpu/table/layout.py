@@ -39,8 +39,9 @@ import numpy as np
 from meepoembedding_tpu.config import LANES, OptimizerConfig, PolicyConfig, TableConfig
 from meepoembedding_tpu.table import hashing
 
-# counters indices (SURVEY.md C22)
+# counters indices (SURVEY.md C22); 8 is ROUTE_DROPS (parallel/sharded_table)
 HITS, MISSES, INSERTS, DROPS, EVICTIONS, SPILLS, PROMOTES, DENIED = range(8)
+ERASES = 9  # explicit key removals (xla_ops.erase_keys / runtime.remove)
 NUM_COUNTERS = 16
 
 

@@ -122,6 +122,19 @@ class OracleTable:
             else:
                 raise ValueError(o.kind)
 
+    def remove(self, keys) -> int:
+        """Explicit removal; returns the number of keys actually present."""
+        n = 0
+        for k in set(int(x) for x in keys):
+            if k in self.rows:
+                n += 1
+                self.rows.pop(k)
+                self.freq.pop(k, None)
+                self.last.pop(k, None)
+                self.accum.pop(k, None)
+                self.m.pop(k, None)
+        return n
+
     def evict(self, step: int) -> Dict[int, np.ndarray]:
         pol = self.policy
         out = {}

@@ -98,6 +98,11 @@ def _evict(spec, shard, step):
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def _erase(spec, shard, hi, lo, valid):
+    return xla_ops.erase_keys(spec, shard, hi, lo, valid)
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
 def _insert(spec, shard, hi, lo, rows, valid, step, freq, accum, fulldim=(),
             last=None):
     return xla_ops.insert_rows(
@@ -259,6 +264,19 @@ class DynamicEmbeddingTable:
         )
         return np.asarray(ok)
 
+    def remove(self, ids64: np.ndarray) -> int:
+        """Explicit key removal (TF lookuptable `remove` semantics): free the
+        listed keys' slots; absent keys are a no-op. Returns how many were
+        actually removed. Erased keys do NOT go to the spill tier — use
+        evict() for policy-driven demotion; remove() is deletion."""
+        uniq = np.unique(np.asarray(ids64, np.int64))
+        hi, lo = hashing.split_ids(uniq)
+        valid = jnp.asarray(hashing.is_valid(hi, lo))
+        self.shard, found = _erase(
+            self.spec, self.shard, jnp.asarray(hi), jnp.asarray(lo), valid
+        )
+        return int(jnp.sum(found))
+
     def evict(self) -> int:
         """Run one eviction sweep; spilled rows (value + optimizer state) go
         to the cold tier. Returns the number of evicted rows (SURVEY.md §3.4)."""
@@ -284,6 +302,7 @@ class DynamicEmbeddingTable:
         c = np.asarray(self.shard.counters)
         names = ["hits", "misses", "inserts", "drops", "evictions", "spills", "promotes", "denied"]
         out = {n: int(c[i]) for i, n in enumerate(names)}
+        out["erases"] = int(c[layout.ERASES])
         if self._promoter is not None:
             out["promotes"] = self._promoter.promoted
             out["spilled_resident"] = len(self.spill)

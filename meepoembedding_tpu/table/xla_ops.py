@@ -33,6 +33,7 @@ from meepoembedding_tpu.table import hashing
 from meepoembedding_tpu.table.layout import (
     DENIED,
     DROPS,
+    ERASES,
     EVICTIONS,
     HITS,
     INSERTS,
@@ -812,6 +813,54 @@ def evict_pass(spec: TableSpec, shard: TableShard, step) -> Tuple[TableShard, Ev
         count=count,
     )
     return shard, export
+
+
+def erase_keys(
+    spec: TableSpec, shard: TableShard, uh, ul, valid
+) -> Tuple[TableShard, jax.Array]:
+    """Explicit key removal (the KV `erase` half of SURVEY.md C6's semantics,
+    at the table level): probe the UNIQUE keys, free every found slot by the
+    same exact-subtraction-to-zero the eviction sweep uses, and return the
+    found mask. Absent keys are a no-op. `ovf` is untouched — probing runs
+    its rounds unconditionally, so freed mid-chain slots never break lookup
+    of other keys. Keys MUST be deduplicated (duplicate exact-subtracts
+    would corrupt the zero-restore invariant); runtime.remove dedups."""
+    pr = probe(spec, shard, uh, ul, valid)
+    sel = pr.found
+    slot = jnp.where(sel, pr.slot, -1)
+    slot_c = jnp.where(sel, pr.slot, 0)
+
+    hi = gather_bucket_plane(shard.key_hi, slot_c)
+    lo = gather_bucket_plane(shard.key_lo, slot_c)
+    rows = gather_values(spec, shard.values, slot_c)
+    freq = gather_bucket_plane(shard.freq, slot_c)
+    last_g = gather_bucket_plane(shard.last, slot_c)
+
+    key_hi = scatter_add_bucket_plane(shard.key_hi, slot, hashing.EMPTY_HI - hi, sel)
+    key_lo = scatter_add_bucket_plane(shard.key_lo, slot, hashing.EMPTY_LO - lo, sel)
+    freq_p = scatter_add_bucket_plane(shard.freq, slot, -freq, sel)
+    last_p = scatter_add_bucket_plane(shard.last, slot, -last_g, sel)
+    values_p = scatter_add_values(spec, shard.values, slot, -rows, sel)
+    opt_rowwise = shard.opt_rowwise
+    if shard.opt_rowwise:
+        accum = gather_bucket_plane(shard.opt_rowwise[0], slot_c)
+        opt_rowwise = (
+            scatter_add_bucket_plane(shard.opt_rowwise[0], slot, -accum, sel),
+        ) + shard.opt_rowwise[1:]
+    opt_fulldim = tuple(
+        scatter_add_values(spec, p, slot, -gather_values(spec, p, slot_c), sel)
+        for p in shard.opt_fulldim
+    )
+    b = jnp.where(sel, slot_c // LANES, shard.cnt.shape[0])
+    cnt = shard.cnt.at[b].add(-1, mode="drop")
+    count = jnp.sum(sel).astype(jnp.int32)
+    counters = shard.counters.at[ERASES].add(count)
+    shard = shard._replace(
+        key_hi=key_hi, key_lo=key_lo, freq=freq_p, last=last_p, values=values_p,
+        opt_rowwise=opt_rowwise, opt_fulldim=opt_fulldim, cnt=cnt,
+        counters=counters,
+    )
+    return shard, sel
 
 
 def check_invariants(spec: TableSpec, shard: TableShard) -> dict:

@@ -318,3 +318,53 @@ class TestOracleParity:
             table.apply_grads(jnp.asarray(grads))
             oracle.apply_grads(ids, grads)
         assert len(table) == len(oracle)
+
+
+class TestErase:
+    def test_remove_matches_oracle_and_reinserts_fresh(self, rng):
+        """remove() frees slots exactly: lookups after removal re-insert
+        deterministic fresh rows (insert-order-independent init), matching
+        an oracle that performed the same removal; the invariant scan stays
+        clean (freed slots back to exact zero / sentinel)."""
+        dim = 8
+        cfg = TableConfig(
+            dim=dim, capacity=128 * 32,
+            optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.1),
+            initializer_scale=0.02,
+        )
+        table = DynamicEmbeddingTable(cfg)
+        oracle = OracleTable(dim, 0.02, cfg.optimizer)
+        ids = _ids(rng, 300)
+        table.lookup(ids)
+        oracle.lookup(ids, step=0)
+        grads = rng.normal(size=(300, dim)).astype(np.float32)
+        table.apply_grads(jnp.asarray(grads))
+        oracle.apply_grads(ids, grads)
+
+        victims = np.unique(ids[:100])
+        absent = _ids(rng, 5, lo=10**13, hi=10**14)  # never inserted
+        n_dev = table.remove(np.concatenate([victims, absent]))
+        n_ora = oracle.remove(np.concatenate([victims, absent]))
+        assert n_dev == n_ora == len(victims)
+        assert table.counters()["erases"] == len(victims)
+        assert len(table) == len(oracle)
+
+        out = jax.jit(xla_ops.check_invariants, static_argnums=(0,))(
+            table.spec, table.shard
+        )
+        for k, v in out.items():
+            assert int(v) == 0, f"{k} = {int(v)}"
+        # removed keys now re-insert with FRESH deterministic rows
+        rows_dev = np.asarray(table.lookup(ids))
+        rows_ora = oracle.lookup(ids, step=1)
+        np.testing.assert_allclose(rows_dev, rows_ora, atol=5e-5)
+
+    def test_remove_is_noop_for_absent_and_invalid(self, rng):
+        cfg = TableConfig(dim=8, capacity=128 * 8)
+        table = DynamicEmbeddingTable(cfg)
+        ids = _ids(rng, 50)
+        table.lookup(ids)
+        before = np.asarray(table.shard.values).copy()
+        n = table.remove(np.array([hashing.EMPTY_ID, 10**15, 10**15 + 1]))
+        assert n == 0
+        np.testing.assert_array_equal(np.asarray(table.shard.values), before)
