@@ -165,6 +165,31 @@ def exchange_apply_grads(
     return optim.apply_sparse_grads(spec, shard, slot, g_per_key)
 
 
+def exchange_erase(
+    spec: TableSpec, shard: TableShard, uh, ul, valid, axis: str, cap: int
+) -> Tuple[TableShard, jax.Array]:
+    """Distributed explicit removal (runtime.remove's sharded analog): route
+    ids to their owner shards over the same a2a, dedup owner-side (the input
+    may be REPLICATED across devices — each owner receives S copies and the
+    dedup collapses them), erase found slots. Returns (shard', removed) with
+    `removed` the GLOBAL count (psum; each key is erased on exactly one
+    owner, so the sum is exact)."""
+    S = lax.axis_size(axis)
+    owner, pos, ok = _route(uh, ul, valid, S, cap)
+    o = jnp.where(ok, owner, S)
+    send_hi = jnp.full((S, cap), hashing.EMPTY_HI, jnp.int32).at[o, pos].set(uh, mode="drop")
+    send_lo = jnp.full((S, cap), hashing.EMPTY_LO, jnp.int32).at[o, pos].set(ul, mode="drop")
+    recv_hi = lax.all_to_all(send_hi, axis, split_axis=0, concat_axis=0)
+    recv_lo = lax.all_to_all(send_lo, axis, split_axis=0, concat_axis=0)
+    rhi, rlo = recv_hi.reshape(-1), recv_lo.reshape(-1)
+    runiq = dedup.unique_pairs(rhi, rlo, size=rhi.shape[0])
+    shard, found = xla_ops.erase_keys(spec, shard, runiq.hi, runiq.lo, runiq.valid)
+    removed = lax.psum(jnp.sum(found).astype(jnp.int32), axis)
+    n_drop = jnp.sum(valid & ~ok).astype(jnp.int32)
+    shard = shard._replace(counters=shard.counters.at[ROUTE_DROPS].add(n_drop))
+    return shard, removed
+
+
 # --- stacked-shard helpers (shard_map passes [1, ...] leaves) ----------------
 
 def squeeze_shard(stacked: TableShard) -> TableShard:

@@ -22,7 +22,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from meepoembedding_tpu.config import ModelConfig, RunConfig, TableConfig
+from meepoembedding_tpu.config import LANES, ModelConfig, RunConfig, TableConfig
 from meepoembedding_tpu.metrics import JsonlLogger, Meter, StreamingAUC
 from meepoembedding_tpu.models import build_model
 from meepoembedding_tpu.models.common import bce_with_logits
@@ -257,6 +257,7 @@ class ShardedTrainer:
         self._bag_len = 1
         self.a2a_factor = run_cfg.a2a_factor
         self.combiner = model_cfg.combiner
+        self._erase_fns = {}
         self._build_step_fns()
 
     def _build_step_fns(self):
@@ -336,6 +337,40 @@ class ShardedTrainer:
         dense, hi, lo, label = self._device_batch(batch)
         loss, logits = self._eval_fn(self.stacked, self.params, dense, hi, lo, label)
         return {"loss": float(loss), "logits": logits}
+
+    def remove(self, ids64: np.ndarray) -> int:
+        """Distributed explicit key removal (runtime.remove's sharded analog):
+        ids route to their owner shards over the a2a; each key is erased on
+        exactly one owner. Returns the global removed count. The (deduped)
+        id list is replicated to every device — owner-side dedup collapses
+        the S copies — so any process may call this with any id set."""
+        uniq = np.unique(np.asarray(ids64, np.int64))
+        n = max(LANES, 1 << max(0, (len(uniq) - 1).bit_length()))
+        ids = np.full((n,), hashing.EMPTY_ID, np.int64)
+        ids[: len(uniq)] = uniq
+        hi, lo = hashing.split_ids(ids)
+        fn = self._erase_fns.get(n)
+        if fn is None:
+            spec, mesh = self.spec, self.mesh
+            cap = st.a2a_capacity(n, self.S, self.a2a_factor)
+
+            def impl(stacked, hi, lo):
+                shard = st.squeeze_shard(stacked)
+                valid = hashing.is_valid(hi, lo)
+                shard, removed = st.exchange_erase(
+                    spec, shard, hi, lo, valid, SHARD_AXIS, cap
+                )
+                return st.unsqueeze_shard(shard), removed
+
+            fn = jax.jit(jax.shard_map(
+                impl, mesh=mesh,
+                in_specs=(P(SHARD_AXIS), P(), P()),
+                out_specs=(P(SHARD_AXIS), P()),
+                check_vma=False,
+            ), donate_argnums=(0,))
+            self._erase_fns[n] = fn
+        self.stacked, removed = fn(self.stacked, jnp.asarray(hi), jnp.asarray(lo))
+        return int(removed)
 
     def _stacked_batch(self, per_shard_fn, shape_tail, dtype):
         """Per-shard host arrays -> one global [S, ...] array sharded over the

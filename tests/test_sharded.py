@@ -181,3 +181,38 @@ def test_sharded_matches_single_device_training(mesh):
         losses1.append(t1.train_step(batch)["loss"])
         losses8.append(t8.train_step(batch)["loss"])
     np.testing.assert_allclose(losses1, losses8, rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_remove(mesh, rng):
+    """Distributed erase: remove via the a2a owner routing must delete each
+    key on exactly its owner shard and agree with single-device semantics
+    (re-lookup reinserts fresh deterministic rows)."""
+    run = RunConfig(batch_size=512, steps=5, dense_learning_rate=3e-3)
+    table = TableConfig(dim=8, capacity=1 << 15)
+    model = ModelConfig(
+        kind="ctr_mlp", num_dense_features=4, num_sparse_features=4,
+        embedding_dim=8, bottom_mlp=(16, 8), top_mlp=(32, 1),
+    )
+    data = SyntheticConfig(num_dense=4, num_sparse=4, batch_size=512, vocab_per_feature=500)
+    tr = ShardedTrainer(run, table, model, mesh=mesh)
+    seen = set()
+    for batch in SyntheticStream(data).batches(5):
+        tr.train_step(batch)
+        seen.update(np.asarray(batch["ids"]).reshape(-1).tolist())
+    seen = np.array(sorted(seen), np.int64)
+    before = tr.counters()["inserts"] - tr.counters()["evictions"]
+    victims = seen[: len(seen) // 2]
+    absent = np.arange(10**13, 10**13 + 7, dtype=np.int64)
+    removed = tr.remove(np.concatenate([victims, absent]))
+    assert removed == len(victims)
+    cnt = int(np.asarray(jax.device_get(tr.stacked.cnt)).sum())
+    assert cnt == before - len(victims)
+    # removed keys are gone from every shard's key planes
+    kh = np.asarray(jax.device_get(tr.stacked.key_hi))
+    kl = np.asarray(jax.device_get(tr.stacked.key_lo))
+    live = ~((kh == hashing.EMPTY_HI) & (kl == hashing.EMPTY_LO))
+    held = set()
+    for s in range(kh.shape[0]):
+        held.update(hashing.join_ids(kh[s][live[s]], kl[s][live[s]]).tolist())
+    assert not (held & set(victims.tolist()))
+    assert set(seen.tolist()) - set(victims.tolist()) <= held | set(victims.tolist())
