@@ -229,6 +229,7 @@ class ShardedTrainer:
         self.S = self.mesh.shape[SHARD_AXIS]
         assert run_cfg.batch_size % self.S == 0, "global batch must divide the mesh"
         self.run_cfg = run_cfg
+        self.table_cfg = table_cfg
         self.spec = TableSpec.from_config(table_cfg, num_shards=self.S)
         self.model = build_model(model_cfg)
         self.stacked = alloc_stacked_shards(self.spec, self.mesh)
@@ -295,7 +296,9 @@ class ShardedTrainer:
         )
 
     def train_step(self, batch: dict) -> dict:
-        self._maybe_grow_ucap(np.asarray(batch["ids"]))
+        ids = np.asarray(batch["ids"])
+        self._maybe_grow_ucap(ids)
+        self._maybe_grow(ids.size * max(1, jax.process_count()))
         dense, hi, lo, label = self._device_batch(batch)
         (
             self.stacked, self.params, self.opt_state, loss, logits, drops,
@@ -337,6 +340,46 @@ class ShardedTrainer:
         dense, hi, lo, label = self._device_batch(batch)
         loss, logits = self._eval_fn(self.stacked, self.params, dense, hi, lo, label)
         return {"loss": float(loss), "logits": logits}
+
+    def _maybe_grow(self, incoming: int) -> None:
+        """Distributed online growth (SURVEY.md C11, sharded): when the
+        GLOBAL live count could cross grow_at_load * global capacity this
+        step, double every shard's capacity in lockstep. Owner routing is
+        hash % S — independent of capacity — so rows stay on their shard;
+        growth is S independent local rehashes, zero collectives."""
+        if self.table_cfg.grow_at_load is None:
+            return
+        while True:
+            live = int(self._replicated(jnp.sum, self.stacked.cnt))
+            if (live + incoming) <= (
+                self.table_cfg.grow_at_load * self.spec.capacity * self.S
+            ):
+                return
+            self.grow()
+
+    def grow(self) -> None:
+        """Double per-shard capacity by local rehash on every shard."""
+        import dataclasses
+
+        from meepoembedding_tpu.table.runtime import regrow_shard
+
+        old_spec = self.spec
+        self.table_cfg = dataclasses.replace(
+            self.table_cfg, capacity=self.table_cfg.capacity * 2
+        )
+        self.spec = TableSpec.from_config(self.table_cfg, num_shards=self.S)
+        mine = addressable_shard_trees(self.stacked)
+        new_by_id = {
+            i: regrow_shard(old_spec, self.spec, sh, self.step)
+            for i, sh in mine.items()
+        }
+        self.stacked = stacked_from_shards(
+            new_by_id, self.mesh, alloc_stacked_shards(self.spec, self.mesh)
+        )
+        # every jitted fn binds the old spec geometry — rebuild
+        self._erase_fns = {}
+        self._promote_fn = None
+        self._build_step_fns()
 
     def remove(self, ids64: np.ndarray) -> int:
         """Distributed explicit key removal (runtime.remove's sharded analog):

@@ -111,6 +111,50 @@ def _insert(spec, shard, hi, lo, rows, valid, step, freq, accum, fulldim=(),
     )
 
 
+def regrow_shard(old_spec, new_spec, old_shard, step):
+    """Rehash one shard's live rows (values + freq/last + optimizer slots)
+    into a fresh shard of `new_spec` geometry. Host-streamed restore-style
+    reinsert; cumulative counters carry over (growth is not an event reset).
+    Shared by single-device growth (above) and the distributed lockstep
+    growth (parallel/trainer.ShardedTrainer.grow)."""
+    from meepoembedding_tpu import checkpoint
+
+    new_shard = alloc_shard(new_spec)
+    new_shard = new_shard._replace(counters=jnp.asarray(old_shard.counters))
+    arrs = checkpoint.export_shard_arrays(old_spec, old_shard)
+    del old_shard
+    n = arrs["ids"].shape[0]
+    n_full = new_spec.optimizer.num_fulldim_slots()
+    b = 1 << 14
+    for o in range(0, n, b):
+        sl = slice(o, min(n, o + b))
+        cnt = sl.stop - sl.start
+        pad = b - cnt
+
+        def pick(a, fill=0):
+            x = a[sl]
+            if pad:
+                x = np.concatenate(
+                    [x, np.full((pad,) + x.shape[1:], fill, x.dtype)]
+                )
+            return jnp.asarray(x)
+
+        hi_np, lo_np = hashing.split_ids(arrs["ids"][sl])
+        if pad:
+            hi_np = np.concatenate([hi_np, np.full(pad, hashing.EMPTY_HI, np.int32)])
+            lo_np = np.concatenate([lo_np, np.full(pad, hashing.EMPTY_LO, np.int32)])
+        valid = jnp.arange(b) < cnt
+        new_shard, _ok = _insert(
+            new_spec, new_shard, jnp.asarray(hi_np), jnp.asarray(lo_np),
+            pick(arrs["values"]), valid, jnp.int32(step),
+            pick(arrs["freq"]),
+            pick(arrs["accum"]) if "accum" in arrs else None,
+            tuple(pick(arrs[f"full{j}"]) for j in range(n_full)),
+            pick(arrs["last"]),
+        )
+    return new_shard
+
+
 class DynamicEmbeddingTable:
     """Hash-keyed growable/evictable embedding table (README.md:2
     "dynamic lookuptable-style Embedding"), single-shard convenience API.
@@ -156,46 +200,10 @@ class DynamicEmbeddingTable:
         peak memory is old + new shard for the duration of the copy."""
         import dataclasses
 
-        from meepoembedding_tpu import checkpoint
-
         old_spec, old_shard = self.spec, self.shard
         self.cfg = dataclasses.replace(self.cfg, capacity=old_spec.capacity * 2)
         self.spec = TableSpec.from_config(self.cfg, num_shards=1)
-        new_shard = alloc_shard(self.spec)
-        # carry cumulative counters (growth is not an event reset)
-        new_shard = new_shard._replace(counters=old_shard.counters)
-        arrs = checkpoint.export_shard_arrays(old_spec, old_shard)
-        del old_shard
-        n = arrs["ids"].shape[0]
-        n_full = self.spec.optimizer.num_fulldim_slots()
-        b = 1 << 14
-        for o in range(0, n, b):
-            sl = slice(o, min(n, o + b))
-            cnt = sl.stop - sl.start
-            pad = b - cnt
-
-            def pick(a, fill=0):
-                x = a[sl]
-                if pad:
-                    x = np.concatenate(
-                        [x, np.full((pad,) + x.shape[1:], fill, x.dtype)]
-                    )
-                return jnp.asarray(x)
-
-            hi_np, lo_np = hashing.split_ids(arrs["ids"][sl])
-            if pad:
-                hi_np = np.concatenate([hi_np, np.full(pad, hashing.EMPTY_HI, np.int32)])
-                lo_np = np.concatenate([lo_np, np.full(pad, hashing.EMPTY_LO, np.int32)])
-            valid = jnp.arange(b) < cnt
-            new_shard, _ok = _insert(
-                self.spec, new_shard, jnp.asarray(hi_np), jnp.asarray(lo_np),
-                pick(arrs["values"]), valid, jnp.int32(self.step),
-                pick(arrs["freq"]),
-                pick(arrs["accum"]) if "accum" in arrs else None,
-                tuple(pick(arrs[f"full{j}"]) for j in range(n_full)),
-                pick(arrs["last"]),
-            )
-        self.shard = new_shard
+        self.shard = regrow_shard(old_spec, self.spec, old_shard, self.step)
 
     # --- host-facing API ---------------------------------------------------
     def lookup(self, ids64: np.ndarray, train: bool = True) -> jax.Array:

@@ -216,3 +216,40 @@ def test_sharded_remove(mesh, rng):
         held.update(hashing.join_ids(kh[s][live[s]], kl[s][live[s]]).tolist())
     assert not (held & set(victims.tolist()))
     assert set(seen.tolist()) - set(victims.tolist()) <= held | set(victims.tolist())
+
+
+@pytest.mark.slow
+def test_sharded_online_growth(mesh, rng):
+    """Distributed growth-by-rehash (SURVEY C11, sharded): start tiny, feed
+    ~6x capacity in unique ids — every shard doubles in lockstep, no id is
+    ever dropped, owner placement survives growth, training continues."""
+    run = RunConfig(batch_size=512, steps=4, dense_learning_rate=3e-3)
+    table = TableConfig(dim=8, capacity=1 << 12, grow_at_load=0.7)
+    model = ModelConfig(
+        kind="ctr_mlp", num_dense_features=4, num_sparse_features=4,
+        embedding_dim=8, bottom_mlp=(16, 8), top_mlp=(32, 1),
+    )
+    tr = ShardedTrainer(run, table, model, mesh=mesh)
+    cap0 = tr.spec.capacity
+    seen = set()
+    data = SyntheticConfig(
+        num_dense=4, num_sparse=4, batch_size=512,
+        vocab_per_feature=3000, zipf_a=1.01, seed=2,  # near-unique stream
+    )
+    for batch in SyntheticStream(data).batches(run.steps):
+        tr.train_step(batch)
+        seen.update(np.asarray(batch["ids"]).reshape(-1).tolist())
+    assert tr.spec.capacity > cap0  # grew at least once
+    c = tr.counters()
+    assert c["drops"] == 0 and c["route_drops"] == 0
+    live = int(np.asarray(jax.device_get(tr.stacked.cnt)).sum())
+    assert live == len(seen), (live, len(seen))
+    # owner placement still correct after growth
+    kh = np.asarray(jax.device_get(tr.stacked.key_hi))
+    kl = np.asarray(jax.device_get(tr.stacked.key_lo))
+    livem = ~((kh == hashing.EMPTY_HI) & (kl == hashing.EMPTY_LO))
+    for s in range(kh.shape[0]):
+        ids_s = hashing.join_ids(kh[s][livem[s]], kl[s][livem[s]])
+        h, l = hashing.split_ids(ids_s)
+        owners = np.asarray(hashing.owner_of(jnp.asarray(h), jnp.asarray(l), kh.shape[0]))
+        assert (owners == s).all()
