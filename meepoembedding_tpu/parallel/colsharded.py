@@ -50,7 +50,7 @@ from meepoembedding_tpu.config import ModelConfig, RunConfig, TableConfig
 from meepoembedding_tpu.metrics import StreamingAUC
 from meepoembedding_tpu.models import build_model
 from meepoembedding_tpu.models.common import bce_with_logits
-from meepoembedding_tpu.ops import dedup, optim
+from meepoembedding_tpu.ops import dedup, optim, pooling
 from meepoembedding_tpu.parallel import multihost
 from meepoembedding_tpu.parallel import sharded_table as st
 from meepoembedding_tpu.parallel.mesh import SHARD_AXIS
@@ -153,7 +153,8 @@ def _unsqueeze2(shard):
 
 
 def make_col_step(spec: TableSpec, model, mesh: Mesh, dense_lr: float,
-                  unique_cap: int, a2a_factor: float = 1.25):
+                  unique_cap: int, a2a_factor: float = 1.25,
+                  combiner: str = "mean"):
     """Jitted 2-D sharded train step. `spec` is the GLOBAL (full-dim)
     geometry; the table state is [S, C, ...] column-local shards."""
     S, C = mesh.shape[SHARD_AXIS], mesh.shape[COL_AXIS]
@@ -168,8 +169,8 @@ def make_col_step(spec: TableSpec, model, mesh: Mesh, dense_lr: float,
 
     def step_impl(stacked, params, opt_state, dense, hi, lo, label, step):
         shard = _squeeze2(stacked)
-        b, s = hi.shape
         uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), unique_cap)
+        bag_valid = hashing.is_valid(hi, lo) if hi.ndim == 3 else None
         drops0 = shard.counters[st.ROUTE_DROPS]
         shard, emb_u, ctx = st.exchange_lookup(
             spec_l, shard, uniq.hi, uniq.lo, uniq.valid, step, SHARD_AXIS,
@@ -187,7 +188,9 @@ def make_col_step(spec: TableSpec, model, mesh: Mesh, dense_lr: float,
         )  # [U, dim], block c at lanes [c*dl, (c+1)*dl)
 
         def loss_fn(params, emb_full_u):
-            emb = emb_full_u[uniq.inverse].reshape(b, s, spec.dim)
+            emb = pooling.pool_or_reshape(
+                emb_full_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
+            )
             logits = model.apply(params, dense, emb)
             return bce_with_logits(logits, label) / S, logits
 
@@ -221,15 +224,15 @@ def make_col_step(spec: TableSpec, model, mesh: Mesh, dense_lr: float,
 
 
 def make_col_eval(spec: TableSpec, model, mesh: Mesh, unique_cap: int,
-                  a2a_factor: float = 1.25):
+                  a2a_factor: float = 1.25, combiner: str = "mean"):
     S, C = mesh.shape[SHARD_AXIS], mesh.shape[COL_AXIS]
     spec_l = col_local_spec(spec, C)
     cap = st.a2a_capacity(unique_cap, S, a2a_factor)
 
     def eval_impl(stacked, params, dense, hi, lo, label):
         shard = _squeeze2(stacked)
-        b, s = hi.shape
         uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), unique_cap)
+        bag_valid = hashing.is_valid(hi, lo) if hi.ndim == 3 else None
         _, emb_u, _ = st.exchange_lookup(
             spec_l, shard, uniq.hi, uniq.lo, uniq.valid, jnp.int32(0),
             SHARD_AXIS, cap, train=False,
@@ -237,7 +240,9 @@ def make_col_eval(spec: TableSpec, model, mesh: Mesh, unique_cap: int,
         emb_full_u = lax.all_gather(
             emb_u.astype(jnp.float32), COL_AXIS, axis=1, tiled=True
         )
-        emb = emb_full_u[uniq.inverse].reshape(b, s, spec.dim)
+        emb = pooling.pool_or_reshape(
+            emb_full_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
+        )
         logits = model.apply(params, dense, emb)
         loss = lax.pmean(bce_with_logits(logits, label), SHARD_AXIS)
         return loss, logits
@@ -278,12 +283,16 @@ class ColShardedTrainer:
         self.auc = StreamingAUC()
         per_dev_ids = run_cfg.batch_size // self.S * model_cfg.num_sparse_features
         self.unique_cap = run_cfg.unique_cap or per_dev_ids
+        self._auto_ucap = run_cfg.unique_cap is None
+        self._bag_len = 1
+        self._model_cfg = model_cfg
         self._step_fn = make_col_step(
             self.spec, self.model, mesh, run_cfg.dense_learning_rate,
-            self.unique_cap, run_cfg.a2a_factor,
+            self.unique_cap, run_cfg.a2a_factor, model_cfg.combiner,
         )
         self._eval_fn = make_col_eval(
-            self.spec, self.model, mesh, self.unique_cap, run_cfg.a2a_factor
+            self.spec, self.model, mesh, self.unique_cap, run_cfg.a2a_factor,
+            model_cfg.combiner,
         )
 
     def _device_batch(self, batch):
@@ -296,7 +305,27 @@ class ColShardedTrainer:
             multihost.shard_batch(np.asarray(batch["label"], np.float32), self.mesh, ps),
         )
 
+    def _maybe_grow_ucap(self, ids: np.ndarray):
+        """Same auto-rescale as ShardedTrainer: multi-hot batches carry L ids
+        per feature; scale the dedup cap to the observed bag length."""
+        L = ids.shape[2] if ids.ndim == 3 else 1
+        if self._auto_ucap and L != self._bag_len:
+            self._bag_len = L
+            base = (self.run_cfg.batch_size // self.S
+                    * self._model_cfg.num_sparse_features)
+            self.unique_cap = base * L
+            self._step_fn = make_col_step(
+                self.spec, self.model, self.mesh,
+                self.run_cfg.dense_learning_rate, self.unique_cap,
+                self.run_cfg.a2a_factor, self._model_cfg.combiner,
+            )
+            self._eval_fn = make_col_eval(
+                self.spec, self.model, self.mesh, self.unique_cap,
+                self.run_cfg.a2a_factor, self._model_cfg.combiner,
+            )
+
     def train_step(self, batch: dict) -> dict:
+        self._maybe_grow_ucap(np.asarray(batch["ids"]))
         dense, hi, lo, label = self._device_batch(batch)
         (self.stacked, self.params, self.opt_state, loss, logits, drops
          ) = self._step_fn(
@@ -315,6 +344,7 @@ class ColShardedTrainer:
         return {"loss": float(loss), "route_drops": int(drops)}
 
     def eval_step(self, batch: dict) -> dict:
+        self._maybe_grow_ucap(np.asarray(batch["ids"]))
         dense, hi, lo, label = self._device_batch(batch)
         loss, logits = self._eval_fn(
             self.stacked, self.params, dense, hi, lo, label

@@ -186,3 +186,27 @@ def test_colsharded_eviction_lockstep(mesh2x2):
         assert all(int(v) == 0 for v in viol.values()), (s, c, viol)
     # training continues cleanly after eviction (slots get re-inserted)
     tr.train_step(batches[4])
+
+
+def test_colsharded_multihot(mesh2x2):
+    """Multi-hot bags through the 2-D (row x dim) trainer: pooled lookups
+    train without drops and logits stay finite."""
+    run = RunConfig(batch_size=256, steps=4, dense_learning_rate=3e-3)
+    table = TableConfig(dim=16, capacity=1 << 13)
+    model = ModelConfig(
+        kind="ctr_mlp", num_dense_features=4, num_sparse_features=4,
+        embedding_dim=16, bottom_mlp=(16, 16), top_mlp=(16, 1),
+        combiner="mean",
+    )
+    data = SyntheticConfig(
+        num_dense=4, num_sparse=4, batch_size=256, vocab_per_feature=500,
+        bag_len=3,
+    )
+    run = RunConfig(batch_size=256, steps=4, dense_learning_rate=3e-3,
+                    unique_cap=256 // mesh2x2.shape["d"] * 4 * 3)
+    tr = ColShardedTrainer(run, table, model, mesh=mesh2x2)
+    for batch in SyntheticStream(data).batches(run.steps):
+        out = tr.train_step(batch)
+    assert out["route_drops"] == 0
+    assert np.isfinite(out["loss"])
+    assert np.isfinite(tr.auc.compute())
