@@ -414,6 +414,7 @@ def cmd_serve(args) -> int:
             num_sparse=model_cfg.num_sparse_features,
             num_dense=model_cfg.num_dense_features,
             seed=run_cfg.seed,
+            bag_len=getattr(args, "bag_len", 1),
         ))
     else:
         from meepoembedding_tpu.data.criteo import CriteoStream
@@ -453,17 +454,23 @@ def cmd_serve(args) -> int:
         if "params" in manifest.get("dense", []):
             params = checkpoint.load_dense(args.ckpt, "params", params)
 
+        from meepoembedding_tpu.ops import pooling
+        from meepoembedding_tpu.table import hashing as _hashing
+
         @jax.jit
-        def score(shard, params, dense, rows):
-            emb = rows.reshape(
-                dense.shape[0], model_cfg.num_sparse_features, table_cfg.dim
+        def score(shard, params, dense, rows, hi, lo):
+            bag_valid = _hashing.is_valid(hi, lo) if hi.ndim == 3 else None
+            emb = pooling.pool_or_reshape(
+                rows, hi, bag_valid, table_cfg.dim, model_cfg.combiner
             )
             return jax.nn.sigmoid(model.apply(params, dense, emb))
 
         for i, batch in enumerate(stream.batches(run_cfg.steps)):
             t0 = time.perf_counter()
             rows = table.lookup(batch["ids"].reshape(-1), train=False)
-            p = score(table.shard, params, jnp.asarray(batch["dense"]), rows)
+            hi_b, lo_b = _hashing.split_ids(batch["ids"])
+            p = score(table.shard, params, jnp.asarray(batch["dense"]), rows,
+                      jnp.asarray(hi_b), jnp.asarray(lo_b))
             p = np.asarray(p)  # host fetch = real completion barrier
             lat_ms.append((time.perf_counter() - t0) * 1e3)
             print(json.dumps({
@@ -599,6 +606,8 @@ def main(argv=None) -> int:
                     help="'synthetic' or comma-separated Criteo TSV paths")
     sv.add_argument("--emit", type=int, default=8,
                     help="scores per batch to include in the JSON output")
+    sv.add_argument("--bag-len", type=int, default=1,
+                    help="synthetic multi-hot bag length L")
     sv.add_argument("--distributed", action="store_true",
                     help="row-shard the restored table over all local devices")
     sv.set_defaults(fn=cmd_serve)
