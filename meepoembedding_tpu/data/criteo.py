@@ -94,7 +94,14 @@ class CriteoStream:
                 return
 
     def batches(self, steps: Optional[int] = None) -> Iterator[dict]:
-        it = parse_lines(self._lines(), self.batch_size)
+        from meepoembedding_tpu.data import criteo_native
+
+        if criteo_native.available():
+            # native C++ parser (csrc/criteo_parse.cc): bit-compatible with
+            # parse_lines, GIL-free, ~10x faster; MEEPO_NATIVE_PARSE=0 opts out
+            it = criteo_native.parse_lines_native(self._lines(), self.batch_size)
+        else:
+            it = parse_lines(self._lines(), self.batch_size)
         if steps is None:
             yield from it
         else:

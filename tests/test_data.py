@@ -43,3 +43,36 @@ def test_synthetic_stream_stable():
     b = list(SyntheticStream(cfg).batches(2))
     np.testing.assert_array_equal(a[1]["ids"], b[1]["ids"])
     assert set(np.unique(a[0]["ids"] >> 44)) == {0, 1, 2}
+
+
+class TestNativeParser:
+    def test_native_matches_python_bit_for_bit(self, tmp_path):
+        """csrc/criteo_parse.cc must reproduce parse_lines exactly on a
+        sample with empty fields, short lines, floats and odd tokens."""
+        from meepoembedding_tpu.data import criteo, criteo_native
+
+        assert criteo_native.available()
+        p = tmp_path / "sample.tsv"
+        criteo.write_synthetic_criteo(str(p), 300, seed=7)
+        # adversarial extras: short line, float dense, weird token bytes
+        with open(p, "a") as fh:
+            fh.write("1\t3.5\t-2\n")
+            fh.write("0\t" + "\t".join([""] * 13) + "\t" +
+                     "\t".join(["deadbeef"] * 26) + "\textra\tfields\n")
+            fh.write("\n")
+        lines = open(p).readlines()
+        py = list(criteo.parse_lines(iter(lines), 64))
+        nat = list(criteo_native.parse_lines_native(iter(lines), 64))
+        assert len(py) == len(nat) == len(lines) // 64
+        for a, b in zip(py, nat):
+            np.testing.assert_array_equal(a["label"], b["label"])
+            np.testing.assert_array_equal(a["dense"], b["dense"])
+            np.testing.assert_array_equal(a["ids"], b["ids"])
+
+    def test_stream_uses_native(self, tmp_path):
+        from meepoembedding_tpu.data import criteo
+
+        p = tmp_path / "s.tsv"
+        criteo.write_synthetic_criteo(str(p), 128, seed=1)
+        got = list(criteo.CriteoStream([str(p)], batch_size=64).batches())
+        assert len(got) == 2 and got[0]["ids"].shape == (64, 26)
