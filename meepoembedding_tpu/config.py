@@ -84,15 +84,18 @@ class TableConfig:
       128//dim per storage row: zero HBM tile padding) or a multiple of 128.
     - capacity: total number of rows across all shards; rounded up so each
       shard holds a power-of-two number of 128-slot buckets.
-    - initializer_scale: fresh rows ~ Uniform(-s, s) derived *statelessly*
-      from the key hash (deterministic regardless of insert order — this is
-      what makes elastic restore bit-stable). 0.0 means zero-init.
+    - initializer_scale: fresh-row magnitude, derived *statelessly* from
+      the key hash (deterministic regardless of insert order — this is what
+      makes elastic restore bit-stable). 0.0 means zero-init.
+    - initializer: "uniform" (-s, s) | "normal" (sigma=s) |
+      "truncated_normal" (sigma=s, exact +-2 sigma) | "constant" (== s).
     - max_probe_rounds: linear-probing chain length before a key is dropped.
     """
 
     dim: int = 32
     capacity: int = 1 << 20
     initializer_scale: float = 0.01
+    initializer: str = "uniform"
     max_probe_rounds: int = 4
     # Bound on ADMITTED inserts per lookup batch (admission throttling).
     # Pending keys beyond the cap are deferred to their next occurrence

@@ -85,12 +85,24 @@ def is_valid(hi, lo) -> jnp.ndarray:
     return ~((hi == EMPTY_HI) & (lo == EMPTY_LO))
 
 
+INITIALIZERS = ("uniform", "normal", "truncated_normal", "constant")
+
+
 def default_rows(
-    hi, lo, dim: int, scale: float, dtype=jnp.float32, lane_offset: int = 0
+    hi, lo, dim: int, scale: float, dtype=jnp.float32, lane_offset: int = 0,
+    kind: str = "uniform",
 ) -> jnp.ndarray:
-    """Deterministic fresh-row initializer: Uniform(-scale, scale) derived
-    from the key hash alone. Insert-order independent, which makes elastic
-    reshard/restore (SURVEY.md §3.5) bit-stable. scale==0 -> zeros.
+    """Deterministic fresh-row initializer derived from the key hash alone
+    (TF-table initializer parity, SURVEY.md C11). Insert-order independent,
+    which makes elastic reshard/restore (SURVEY.md §3.5) bit-stable.
+    scale==0 -> zeros for every kind.
+
+      uniform           Uniform(-scale, scale)
+      normal            Normal(0, scale) via inverse-CDF (erfinv)
+      truncated_normal  Normal(0, scale) truncated to +-2 sigma — EXACT
+                        (inverse-CDF over the truncated interval, not clip
+                        or resample), still one hash stream per lane
+      constant          every element == scale
 
     `lane_offset` shifts the per-lane hash stream: a column-sharded table
     (parallel/colsharded.py) holding lanes [off, off+dim) of a wider logical
@@ -100,10 +112,25 @@ def default_rows(
     n = hi.shape[0]
     if scale == 0.0:
         return jnp.zeros((n, dim), dtype)
+    if kind == "constant":
+        return jnp.full((n, dim), scale, dtype)
     h0 = hash_pair(hi, lo, SALT_INIT)  # [n]
     # offset may be a traced scalar (column shard under shard_map)
     d = jnp.arange(dim, dtype=jnp.uint32)[None, :] + jnp.uint32(lane_offset)
     bits = fmix32(h0[:, None] + d * jnp.uint32(0x9E3779B9))
     # top 24 bits -> uniform [0, 1)
     u = (bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
-    return ((u * 2.0 - 1.0) * scale).astype(dtype)
+    if kind == "uniform":
+        return ((u * 2.0 - 1.0) * scale).astype(dtype)
+    if kind in ("normal", "truncated_normal"):
+        import jax
+
+        if kind == "truncated_normal":
+            # map u into (Phi(-2), Phi(2)) then invert: exact truncation
+            p_lo = 0.02275013194817921  # Phi(-2)
+            uu = p_lo + u * (1.0 - 2.0 * p_lo)
+        else:
+            uu = jnp.clip(u, 1e-7, 1.0 - 1e-7)
+        z = jnp.sqrt(jnp.float32(2.0)) * jax.scipy.special.erfinv(2.0 * uu - 1.0)
+        return (z * scale).astype(dtype)
+    raise ValueError(f"initializer must be one of {INITIALIZERS}, got {kind!r}")

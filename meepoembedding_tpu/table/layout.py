@@ -58,6 +58,8 @@ class TableSpec:
     optimizer: OptimizerConfig
     policy: PolicyConfig
     insert_cap: "int | None" = None
+    # fresh-row initializer kind (hashing.INITIALIZERS)
+    initializer: str = "uniform"
     # column sharding (parallel/colsharded.py): this shard holds lanes
     # [off, off + dim) of a wider logical row, where off = init_lane_offset
     # (+ axis_index(init_lane_axis) * dim under shard_map — SPMD traces one
@@ -79,6 +81,7 @@ class TableSpec:
             dim=cfg.dim,
             num_buckets=cfg.buckets_per_shard(num_shards),
             initializer_scale=cfg.initializer_scale,
+            initializer=cfg.initializer,
             max_probe_rounds=cfg.max_probe_rounds,
             value_dtype=cfg.value_dtype,
             optimizer=cfg.optimizer,

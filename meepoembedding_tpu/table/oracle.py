@@ -24,9 +24,11 @@ class OracleTable:
         initializer_scale: float = 0.01,
         optimizer: OptimizerConfig = OptimizerConfig(),
         policy: PolicyConfig = PolicyConfig(),
+        init_kind: str = "uniform",
     ):
         self.dim = dim
         self.scale = initializer_scale
+        self.init_kind = init_kind
         self.opt = optimizer
         self.policy = policy
         self.rows: Dict[int, np.ndarray] = {}
@@ -43,7 +45,10 @@ class OracleTable:
         import jax.numpy as jnp
 
         hi, lo = hashing.split_ids(np.array([key]))
-        r = hashing.default_rows(jnp.asarray(hi), jnp.asarray(lo), self.dim, self.scale)
+        r = hashing.default_rows(
+            jnp.asarray(hi), jnp.asarray(lo), self.dim, self.scale,
+            kind=self.init_kind,
+        )
         return np.asarray(r[0], dtype=np.float64)
 
     def _admit(self, key: int) -> bool:

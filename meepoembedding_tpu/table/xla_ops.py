@@ -472,7 +472,7 @@ def find_or_insert(
         last = scatter_add_bucket_plane(last, plan.slot, jnp.full_like(uh, step), plan.ok)
         init_rows = hashing.default_rows(
             uh, ul, spec.dim, spec.initializer_scale, spec.dtype,
-            lane_offset=spec.lane_offset(),
+            lane_offset=spec.lane_offset(), kind=spec.initializer,
         )
         values = scatter_add_values(spec, values, plan.slot, init_rows, plan.ok)
         opt_rowwise = tuple(
@@ -580,7 +580,7 @@ def lookup_train(
         g128, sub = lookup_rows128(spec, shard, slot)
         init_rows = hashing.default_rows(
             uh, ul, spec.dim, spec.initializer_scale, spec.dtype,
-            lane_offset=spec.lane_offset(),
+            lane_offset=spec.lane_offset(), kind=spec.initializer,
         )
         init_win = window_place(spec, init_rows, sub)
         g128 = jnp.where(fresh[:, None], init_win.astype(g128.dtype), g128)

@@ -58,3 +58,71 @@ def test_default_rows_deterministic_and_bounded():
     assert np.abs(np.asarray(r1)).max() <= 0.05
     z = hashing.default_rows(jnp.asarray(hi), jnp.asarray(lo), 16, 0.0)
     assert np.all(np.asarray(z) == 0)
+
+
+class TestInitializerKinds:
+    def test_kinds_shape_and_stats(self, rng):
+        import jax.numpy as jnp
+
+        from meepoembedding_tpu.table import hashing
+
+        ids = rng.integers(1, 10**12, size=20000, dtype=np.int64)
+        hi, lo = hashing.split_ids(ids)
+        hi, lo = jnp.asarray(hi), jnp.asarray(lo)
+        u = np.asarray(hashing.default_rows(hi, lo, 8, 0.1, kind="uniform"))
+        n = np.asarray(hashing.default_rows(hi, lo, 8, 0.1, kind="normal"))
+        t = np.asarray(hashing.default_rows(hi, lo, 8, 0.1, kind="truncated_normal"))
+        c = np.asarray(hashing.default_rows(hi, lo, 8, 0.1, kind="constant"))
+        assert np.abs(u).max() <= 0.1
+        assert np.abs(n.std() - 0.1) < 0.005  # sigma == scale
+        assert np.abs(t).max() <= 0.2 + 1e-6  # exact +-2 sigma truncation
+        assert np.abs(t.std() - 0.1 * 0.8796) < 0.005  # truncated sigma
+        np.testing.assert_array_equal(c, np.float32(0.1))
+        # deterministic: same keys -> same bits
+        n2 = np.asarray(hashing.default_rows(hi, lo, 8, 0.1, kind="normal"))
+        np.testing.assert_array_equal(n, n2)
+
+    def test_lane_offset_composes_for_all_kinds(self, rng):
+        import jax.numpy as jnp
+
+        from meepoembedding_tpu.table import hashing
+
+        ids = rng.integers(1, 10**12, size=64, dtype=np.int64)
+        hi, lo = hashing.split_ids(ids)
+        hi, lo = jnp.asarray(hi), jnp.asarray(lo)
+        for kind in ("uniform", "normal", "truncated_normal"):
+            full = np.asarray(hashing.default_rows(hi, lo, 16, 0.05, kind=kind))
+            a = np.asarray(hashing.default_rows(hi, lo, 8, 0.05, kind=kind))
+            b = np.asarray(
+                hashing.default_rows(hi, lo, 8, 0.05, lane_offset=8, kind=kind)
+            )
+            np.testing.assert_array_equal(full, np.concatenate([a, b], axis=1))
+
+    def test_bad_kind_raises(self, rng):
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from meepoembedding_tpu.table import hashing
+
+        with _pytest.raises(ValueError):
+            hashing.default_rows(jnp.zeros(2, jnp.int32), jnp.zeros(2, jnp.int32),
+                                 4, 0.1, kind="xavier")
+
+
+def test_normal_init_oracle_parity(rng):
+    """Device table with a normal initializer matches the oracle (the init
+    kind threads through lookup_train / find_or_insert / restore)."""
+    import jax.numpy as jnp
+
+    from meepoembedding_tpu.config import TableConfig
+    from meepoembedding_tpu.table.oracle import OracleTable
+    from meepoembedding_tpu.table.runtime import DynamicEmbeddingTable
+
+    cfg = TableConfig(dim=8, capacity=128 * 16, initializer_scale=0.05,
+                      initializer="truncated_normal")
+    t = DynamicEmbeddingTable(cfg)
+    o = OracleTable(8, 0.05, cfg.optimizer, init_kind="truncated_normal")
+    ids = rng.integers(1, 10**12, size=200, dtype=np.int64)
+    np.testing.assert_allclose(
+        np.asarray(t.lookup(ids)), o.lookup(ids, step=0), atol=5e-6
+    )
