@@ -543,6 +543,48 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_ckpt_export(args) -> int:
+    """Export a checkpoint's embedding rows to a portable format for
+    downstream systems (the migration path OUT of the framework, mirroring
+    the KV tiers' import path in): streamed shard-by-shard, bounded memory.
+
+      npz   one .npz with ids [N] int64 + values [N, dim] f32
+            (+ freq/accum when --full)
+      tsv   one line per row: id \\t v0,v1,...  (text, diffable)
+    """
+    from meepoembedding_tpu import checkpoint
+
+    m = checkpoint.read_manifest(args.path)
+    rows_total = 0
+    if args.format == "npz":
+        ids_parts, val_parts, extra = [], [], {}
+        for data in checkpoint.iter_rows(args.path):
+            ids_parts.append(data["ids"])
+            val_parts.append(data["values"])
+            if args.full:
+                for k in ("freq", "accum"):
+                    if k in data:
+                        extra.setdefault(k, []).append(data[k])
+            rows_total += len(data["ids"])
+        out = {
+            "ids": np.concatenate(ids_parts) if ids_parts else np.zeros(0, np.int64),
+            "values": np.concatenate(val_parts) if val_parts else np.zeros((0, m["dim"])),
+        }
+        for k, v in extra.items():
+            out[k] = np.concatenate(v)
+        np.savez_compressed(args.out, **out)
+    else:  # tsv
+        with open(args.out, "w") as fh:
+            for data in checkpoint.iter_rows(args.path):
+                for i in range(len(data["ids"])):
+                    vals = ",".join(repr(float(x)) for x in data["values"][i])
+                    fh.write(f"{int(data['ids'][i])}\t{vals}\n")
+                rows_total += len(data["ids"])
+    print(json.dumps({"rows": rows_total, "out": args.out, "format": args.format,
+                      "dim": m["dim"], "step": m["step"]}))
+    return 0
+
+
 def cmd_ckpt_inspect(args) -> int:
     from meepoembedding_tpu import checkpoint
 
@@ -623,6 +665,14 @@ def main(argv=None) -> int:
     ev.add_argument("--distributed", action="store_true",
                     help="restore row-sharded over all local devices")
     ev.set_defaults(fn=cmd_eval)
+
+    ce = sub.add_parser("ckpt-export", help="export rows to npz/tsv")
+    ce.add_argument("path", help="checkpoint directory")
+    ce.add_argument("--out", required=True, help="output file")
+    ce.add_argument("--format", choices=["npz", "tsv"], default="npz")
+    ce.add_argument("--full", action="store_true",
+                    help="include freq/accum state (npz only)")
+    ce.set_defaults(fn=cmd_ckpt_export)
 
     c = sub.add_parser("ckpt-inspect", help="print checkpoint manifest + stats")
     c.add_argument("path")

@@ -241,3 +241,39 @@ def test_eval_cli(tmp_path):
     assert evals[False]["examples"] == 6 * 64
     assert 0.0 <= evals[False]["auc"] <= 1.0
     assert abs(evals[False]["auc"] - evals[True]["auc"]) < 1e-9
+
+
+def test_ckpt_export_cli(tmp_path):
+    """ckpt-export dumps id->embedding rows; npz and tsv agree."""
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    common = [
+        "--set", "run.steps=4", "run.batch_size=64", "table.capacity=4096",
+        "table.dim=8", "model.kind=ctr_mlp", "model.num_sparse_features=3",
+        "model.top_mlp=16,1",
+    ]
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "train", "--data", "synthetic",
+         "--ckpt-dir", str(tmp_path / "ck"), *common],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "ckpt-export",
+         str(tmp_path / "ck"), "--out", str(tmp_path / "e.npz"), "--full"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    meta = json.loads(out.stdout.strip().splitlines()[-1])
+    import numpy as np
+    z = np.load(tmp_path / "e.npz")
+    assert len(z["ids"]) == meta["rows"] > 0
+    assert z["values"].shape == (meta["rows"], 8)
+    assert "accum" in z.files  # --full carried optimizer state
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "ckpt-export",
+         str(tmp_path / "ck"), "--out", str(tmp_path / "e.tsv"),
+         "--format", "tsv"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert sum(1 for _ in open(tmp_path / "e.tsv")) == meta["rows"]
