@@ -20,7 +20,8 @@ def _pow2(x: int) -> bool:
 class OptimizerConfig:
     """Sparse optimizer applied in-place to table rows (SURVEY.md C4).
 
-    kind: one of "sgd", "rowwise_adagrad", "adagrad", "adam", "ftrl".
+    kind: one of "sgd", "momentum", "rowwise_adagrad", "adagrad", "adam",
+    "ftrl".
     Rowwise variants keep ONE scalar of state per row (the standard trick for
     huge embedding tables); full variants keep per-element state planes.
     FTRL-Proximal (the classic CTR sparse optimizer) keeps z (linear) and n
@@ -38,12 +39,12 @@ class OptimizerConfig:
     ftrl_beta: float = 1.0  # ftrl denominator smoothing
 
     def num_rowwise_slots(self) -> int:
-        return {"sgd": 0, "rowwise_adagrad": 1, "adagrad": 0, "adam": 0,
-                "ftrl": 0}[self.kind]
+        return {"sgd": 0, "momentum": 0, "rowwise_adagrad": 1, "adagrad": 0,
+                "adam": 0, "ftrl": 0}[self.kind]
 
     def num_fulldim_slots(self) -> int:
-        return {"sgd": 0, "rowwise_adagrad": 0, "adagrad": 1, "adam": 2,
-                "ftrl": 2}[self.kind]
+        return {"sgd": 0, "momentum": 1, "rowwise_adagrad": 0, "adagrad": 1,
+                "adam": 2, "ftrl": 2}[self.kind]
 
 
 @dataclasses.dataclass(frozen=True)

@@ -196,6 +196,17 @@ def apply_sparse_grads(
         values = row_apply_delta(spec, shard.values, slot, delta, enabled)
         return shard._replace(values=values, opt_fulldim=(m_plane, v_plane))
 
+    if kind == "momentum":
+        # Polyak momentum, lazy (moment updates only on touched rows)
+        (m_plane,) = shard.opt_fulldim
+        m_old = gather_values(spec, m_plane, slot).astype(jnp.float32)
+        m_new = opt.beta1 * m_old + grad
+        m_plane = row_apply_delta(spec, m_plane, slot, m_new - m_old, enabled)
+        values = row_apply_delta(
+            spec, shard.values, slot, -opt.learning_rate * m_new, enabled
+        )
+        return shard._replace(values=values, opt_fulldim=(m_plane,))
+
     if kind == "ftrl":
         # FTRL-Proximal (McMahan et al., "Ad Click Prediction: a View from
         # the Trenches"), the classic sparse CTR optimizer. The weight is a

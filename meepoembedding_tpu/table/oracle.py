@@ -112,6 +112,9 @@ class OracleTable:
                 self.rows[k] -= (
                     o.learning_rate * self.m[k] / np.sqrt(self.accum[k] + o.eps * o.eps)
                 )
+            elif o.kind == "momentum":
+                self.m[k] = o.beta1 * self.m[k] + g
+                self.rows[k] = self.rows[k] - o.learning_rate * self.m[k]
             elif o.kind == "ftrl":
                 # accum holds n (sum g^2), m holds z (FTRL linear state)
                 n_old = self.accum[k]

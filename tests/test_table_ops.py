@@ -235,7 +235,7 @@ class TestProbeChains:
 
 
 class TestOracleParity:
-    @pytest.mark.parametrize("opt", ["sgd", "rowwise_adagrad", "adagrad", "adam", "ftrl"])
+    @pytest.mark.parametrize("opt", ["sgd", "momentum", "rowwise_adagrad", "adagrad", "adam", "ftrl"])
     def test_train_sequence_matches_oracle(self, rng, opt):
         dim = 8
         cfg = TableConfig(
