@@ -614,7 +614,11 @@ class ShardedTrainer:
             "hits", "misses", "inserts", "drops", "evictions", "spills",
             "promotes", "denied", "route_drops",
         ]
-        return {n: int(c[i]) for i, n in enumerate(names)}
+        out = {n: int(c[i]) for i, n in enumerate(names)}
+        from meepoembedding_tpu.table.layout import ERASES
+
+        out["erases"] = int(c[ERASES])
+        return out
 
     def __len__(self) -> int:
         return int(self._replicated(jnp.sum, self.stacked.cnt))

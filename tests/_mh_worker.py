@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--save-every", type=int, default=0)
     ap.add_argument("--col", type=int, default=1,
                     help="column shards: 2-D (rows x col) grid over all devices")
+    ap.add_argument("--erase", type=int, default=0,
+                    help="after training, remove ids [0, N) via the "
+                         "distributed exchange_erase (1-D trainer only)")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={args.devs}"
@@ -85,12 +88,18 @@ def main():
         if args.die_after and (i + 1) >= args.die_after:
             print(json.dumps({"died": True, "step": tr.step}), flush=True)
             os._exit(42)  # simulated hard worker failure (SURVEY.md §5)
+    removed = 0
+    if args.erase:
+        # every process passes the SAME id list; owner-side dedup collapses
+        # the copies and each key dies on exactly one shard
+        removed = tr.remove(np.arange(args.erase, dtype=np.int64))
     tr.save_checkpoint(args.ckpt_dir, extras={"saved_at": tr.step})
     print(json.dumps({
         "pid": args.pid,
         "rows": len(tr),
         "step": tr.step,
         "loss": losses[-1],
+        "removed": removed,
         "counters": tr.counters(),
     }), flush=True)
 

@@ -157,3 +157,24 @@ def test_two_process_colsharded_training_and_checkpoint(tmp_path):
         assert data["values"].shape[1] == 8
         total += data["ids"].shape[0]
     assert total == results[0]["rows"]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_erase(tmp_path):
+    """2-process distributed remove: both processes pass the same id list;
+    each key is erased on exactly one owner shard, both agree on the global
+    removed count and the post-erase row count, and the checkpoint written
+    after the erase reflects it."""
+    ckpt = str(tmp_path / "cke")
+    outs = _run_job(2, 2, ckpt, ["--steps", "3", "--erase", "2000"])
+    results = []
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed:\n{err[-3000:]}"
+        results.append(json.loads(out.strip().splitlines()[-1]))
+    r0, r1 = results
+    assert r0["removed"] == r1["removed"] > 0
+    assert r0["rows"] == r1["rows"]
+    assert r0["counters"]["erases"] == r0["removed"]
+    with open(os.path.join(ckpt, "manifest.json")) as f:
+        m = json.load(f)
+    assert sum(m["counts"]) == r0["rows"]
