@@ -271,6 +271,7 @@ class ColShardedTrainer:
         self.C = mesh.shape[COL_AXIS]
         assert run_cfg.batch_size % self.S == 0
         self.run_cfg = run_cfg
+        self.table_cfg = table_cfg
         self.spec = TableSpec.from_config(table_cfg, num_shards=self.S)
         self.spec_local = col_local_spec(self.spec, self.C)
         self.model = build_model(model_cfg)
@@ -324,8 +325,55 @@ class ColShardedTrainer:
                 self.run_cfg.a2a_factor, self._model_cfg.combiner,
             )
 
+    def _maybe_grow(self, incoming: int) -> None:
+        """Distributed online growth, 2-D: same lockstep doubling as
+        ShardedTrainer._maybe_grow. Each (row, col) shard regrows LOCALLY;
+        slot assignment is a deterministic function of the (identical) key
+        planes, so columns stay in lockstep without any collective."""
+        if self.table_cfg.grow_at_load is None:
+            return
+        while True:
+            # cnt is replicated across columns; sum over everything / C
+            live = int(self._replicated(jnp.sum, self.stacked.cnt)) // self.C
+            if (live + incoming) <= (
+                self.table_cfg.grow_at_load * self.spec.capacity * self.S
+            ):
+                return
+            self.grow()
+
+    def grow(self) -> None:
+        import dataclasses as _dc
+
+        from meepoembedding_tpu.table.runtime import regrow_shard
+
+        old_local = self.spec_local
+        self.table_cfg = _dc.replace(
+            self.table_cfg, capacity=self.table_cfg.capacity * 2
+        )
+        self.spec = TableSpec.from_config(self.table_cfg, num_shards=self.S)
+        self.spec_local = col_local_spec(self.spec, self.C)
+        mine = addressable_shard_trees2(self.stacked)
+        new_by_sc = {
+            k: regrow_shard(old_local, self.spec_local, sh, self.step)
+            for k, sh in mine.items()
+        }
+        self.stacked = stacked_from_shards2(
+            new_by_sc, self.mesh, alloc_col_stacked(self.spec_local, self.mesh)
+        )
+        self._step_fn = make_col_step(
+            self.spec, self.model, self.mesh, self.run_cfg.dense_learning_rate,
+            self.unique_cap, self.run_cfg.a2a_factor, self._model_cfg.combiner,
+        )
+        self._eval_fn = make_col_eval(
+            self.spec, self.model, self.mesh, self.unique_cap,
+            self.run_cfg.a2a_factor, self._model_cfg.combiner,
+        )
+
     def train_step(self, batch: dict) -> dict:
         self._maybe_grow_ucap(np.asarray(batch["ids"]))
+        self._maybe_grow(
+            np.asarray(batch["ids"]).size * max(1, jax.process_count())
+        )
         dense, hi, lo, label = self._device_batch(batch)
         (self.stacked, self.params, self.opt_state, loss, logits, drops
          ) = self._step_fn(

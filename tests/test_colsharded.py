@@ -210,3 +210,33 @@ def test_colsharded_multihot(mesh2x2):
     assert out["route_drops"] == 0
     assert np.isfinite(out["loss"])
     assert np.isfinite(tr.auc.compute())
+
+
+@pytest.mark.slow
+def test_colsharded_online_growth(mesh2x2):
+    """2-D growth: each (row, col) shard doubles locally; key planes stay
+    lockstep across columns (slot planning is deterministic in the keys),
+    no id ever drops, training continues after regrowth."""
+    run = RunConfig(batch_size=128, steps=4, dense_learning_rate=3e-3)
+    table = TableConfig(dim=16, capacity=1 << 11, grow_at_load=0.7)
+    model = ModelConfig(
+        kind="ctr_mlp", num_dense_features=4, num_sparse_features=4,
+        embedding_dim=16, bottom_mlp=(16, 16), top_mlp=(16, 1),
+    )
+    data = SyntheticConfig(
+        num_dense=4, num_sparse=4, batch_size=128, vocab_per_feature=3000,
+        zipf_a=1.01, seed=3,
+    )
+    tr = ColShardedTrainer(run, table, model, mesh=mesh2x2)
+    cap0 = tr.spec.capacity
+    seen = set()
+    for batch in SyntheticStream(data).batches(run.steps):
+        tr.train_step(batch)
+        seen.update(np.asarray(batch["ids"]).reshape(-1).tolist())
+    assert tr.spec.capacity > cap0
+    c = tr.counters()
+    assert c["drops"] == 0 and c["route_drops"] == 0
+    kh = np.asarray(jax.device_get(tr.stacked.key_hi))  # [S, C, nb, 128]
+    np.testing.assert_array_equal(kh[:, 0], kh[:, 1])  # columns lockstep
+    live = int(np.asarray(jax.device_get(tr.stacked.cnt)).sum()) // 2
+    assert live == len(seen)
