@@ -368,3 +368,41 @@ class TestErase:
         n = table.remove(np.array([hashing.EMPTY_ID, 10**15, 10**15 + 1]))
         assert n == 0
         np.testing.assert_array_equal(np.asarray(table.shard.values), before)
+
+
+def test_fuzz_lifecycle_against_oracle(rng):
+    """Randomized interaction test: interleave train lookups, sparse updates,
+    explicit removals, TTL evictions and growth-by-rehash, checking row
+    content and table size against the oracle after every op. Catches
+    cross-feature interactions (remove -> reinsert, evict -> grow, ...) that
+    the per-feature tests cannot."""
+    dim = 8
+    cfg = TableConfig(
+        dim=dim, capacity=1 << 9, grow_at_load=0.8,
+        optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.1),
+        initializer_scale=0.02,
+        policy=PolicyConfig(evict_policy="ttl", ttl_steps=12),
+    )
+    table = DynamicEmbeddingTable(cfg)
+    oracle = OracleTable(dim, 0.02, cfg.optimizer, cfg.policy)
+    pool = _ids(rng, 4000)
+    for step in range(30):
+        op = rng.choice(["train", "train", "train", "remove", "evict"])
+        if op == "train":
+            ids = rng.choice(pool, size=64)
+            rows_dev = np.asarray(table.lookup(ids))
+            rows_ora = oracle.lookup(ids, step=table.step)
+            np.testing.assert_allclose(rows_dev, rows_ora, atol=5e-5,
+                                       err_msg=f"step {step} lookup")
+            g = rng.normal(size=(64, dim)).astype(np.float32)
+            table.apply_grads(jnp.asarray(g))
+            oracle.apply_grads(ids, g)
+        elif op == "remove":
+            victims = rng.choice(pool, size=32)
+            assert table.remove(victims) == oracle.remove(victims)
+        else:
+            # oracle ignores capacity; sync the step-based TTL clock
+            oracle.evict(table.step)
+            table.evict()
+        assert len(table) == len(oracle), f"step {step} after {op}"
+    assert table.spec.capacity > 1 << 9  # growth happened along the way
