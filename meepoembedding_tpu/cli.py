@@ -1,12 +1,15 @@
-"""CLI entry points (SURVEY.md C20/C21, L7): `train`, `bench-lookup`,
-`bench-update`, `ckpt-inspect` behind one argparse front end.
+"""CLI entry points (SURVEY.md C20/C21, L7): `train`, `eval`, `serve`,
+`bench-lookup`, `bench-update`, `ckpt-inspect`, `ckpt-export` behind one
+argparse front end.
 
 Config layering (C21): frozen-dataclass defaults <- YAML file (--config)
 <- dotted CLI overrides (`--set table.capacity=1048576 run.steps=200`).
 
   python -m meepoembedding_tpu train --data synthetic --set run.steps=100
+  python -m meepoembedding_tpu eval --ckpt /path/to/ckpt --data holdout.tsv
+  python -m meepoembedding_tpu serve --ckpt /path/to/ckpt --distributed
   python -m meepoembedding_tpu bench-lookup --rows 1e6
-  python -m meepoembedding_tpu ckpt-inspect /path/to/ckpt
+  python -m meepoembedding_tpu ckpt-export /path/to/ckpt --out emb.npz
 """
 
 from __future__ import annotations
