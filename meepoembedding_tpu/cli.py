@@ -165,11 +165,13 @@ def make_train_stream(data: str, run_cfg, model_cfg, host_id: int, num_hosts: in
             bag_len=bag_len,
         ))
     from meepoembedding_tpu.data.criteo import CriteoStream
+    from meepoembedding_tpu.data.prefetch import PrefetchStream
 
-    return CriteoStream(
+    # file-backed input: overlap parse (GIL-free native) with device steps
+    return PrefetchStream(CriteoStream(
         data.split(","), batch_size=run_cfg.batch_size, loop=True,
         host_id=host_id, num_hosts=num_hosts,
-    )
+    ))
 
 
 def cmd_train(args) -> int:

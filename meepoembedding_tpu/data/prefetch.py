@@ -1,0 +1,45 @@
+"""Background batch prefetch (SURVEY.md C17): a daemon thread runs the
+upstream stream's generator and keeps a small bounded queue of ready batches,
+so host-side parsing/generation overlaps device compute. ctypes-based native
+parsing (criteo_native) releases the GIL, so the overlap is real parallelism
+for the Criteo path, not just interleaving.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+
+class PrefetchStream:
+    """Wraps any object with .batches(steps) -> iterator of batch dicts."""
+
+    _END = object()
+
+    def __init__(self, inner, depth: int = 2):
+        self.inner = inner
+        self.depth = depth
+
+    def batches(self, steps: Optional[int] = None) -> Iterator[dict]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        err: list = []
+
+        def worker():
+            try:
+                for b in self.inner.batches(steps):
+                    q.put(b)
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(self._END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is self._END:
+                if err:
+                    raise err[0]
+                return
+            yield b

@@ -76,3 +76,43 @@ class TestNativeParser:
         criteo.write_synthetic_criteo(str(p), 128, seed=1)
         got = list(criteo.CriteoStream([str(p)], batch_size=64).batches())
         assert len(got) == 2 and got[0]["ids"].shape == (64, 26)
+
+
+class TestPrefetch:
+    def test_prefetch_preserves_order_and_content(self, tmp_path):
+        from meepoembedding_tpu.data import criteo
+        from meepoembedding_tpu.data.prefetch import PrefetchStream
+
+        p = tmp_path / "s.tsv"
+        criteo.write_synthetic_criteo(str(p), 256, seed=4)
+        plain = list(criteo.CriteoStream([str(p)], batch_size=64).batches())
+        pre = list(PrefetchStream(
+            criteo.CriteoStream([str(p)], batch_size=64), depth=2
+        ).batches())
+        assert len(plain) == len(pre) == 4
+        for a, b in zip(plain, pre):
+            np.testing.assert_array_equal(a["ids"], b["ids"])
+            np.testing.assert_array_equal(a["dense"], b["dense"])
+
+    def test_prefetch_propagates_errors(self):
+        from meepoembedding_tpu.data.prefetch import PrefetchStream
+
+        class Boom:
+            def batches(self, steps=None):
+                yield {"x": 1}
+                raise RuntimeError("upstream died")
+
+        it = PrefetchStream(Boom()).batches()
+        assert next(it) == {"x": 1}
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="upstream died"):
+            list(it)
+
+    def test_prefetch_respects_steps(self, tmp_path):
+        from meepoembedding_tpu.data import criteo
+        from meepoembedding_tpu.data.prefetch import PrefetchStream
+
+        p = tmp_path / "s.tsv"
+        criteo.write_synthetic_criteo(str(p), 512, seed=5)
+        s = PrefetchStream(criteo.CriteoStream([str(p)], batch_size=64, loop=True))
+        assert sum(1 for _ in s.batches(3)) == 3
