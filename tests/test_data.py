@@ -116,3 +116,58 @@ class TestPrefetch:
         criteo.write_synthetic_criteo(str(p), 512, seed=5)
         s = PrefetchStream(criteo.CriteoStream([str(p)], batch_size=64, loop=True))
         assert sum(1 for _ in s.batches(3)) == 3
+
+
+def test_criteo_parse_asan_fuzz():
+    """Sanitizer gate for the native parser (SURVEY.md §5): ASan+UBSan build
+    survives garbage byte buffers and adversarial field shapes (oversized
+    fields, tab floods, no trailing newline, empty input)."""
+    import os
+    import subprocess
+    import sys
+
+    import pytest
+
+    asan = subprocess.run(
+        ["g++", "-print-file-name=libasan.so"], capture_output=True, text=True
+    ).stdout.strip()
+    if not asan or not os.path.exists(asan):
+        pytest.skip("libasan not available")
+    so = "/tmp/_meepo_criteoparse_asan.so"
+    subprocess.run(
+        ["g++", "-O1", "-g", "-fsanitize=address,undefined",
+         "-fno-omit-frame-pointer", "-std=c++17", "-shared", "-fPIC",
+         "csrc/criteo_parse.cc", "-o", so],
+        check=True, capture_output=True, timeout=120, cwd="/root/repo",
+    )
+    code = f"""
+import ctypes, numpy as np
+lib = ctypes.CDLL({so!r})
+lib.criteo_parse_batch.restype = ctypes.c_long
+lib.criteo_parse_batch.argtypes = [ctypes.c_char_p, ctypes.c_long,
+    ctypes.c_long, ctypes.POINTER(ctypes.c_float),
+    ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_float)]
+def run(buf, rows):
+    dense = np.zeros((rows, 13), np.float32)
+    ids = np.zeros((rows, 26), np.int64)
+    lab = np.zeros(rows, np.float32)
+    r = lib.criteo_parse_batch(buf, len(buf), rows,
+        dense.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        lab.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    assert 0 <= r <= rows, r
+rng = np.random.default_rng(0)
+for _ in range(200):
+    run(bytes(rng.integers(0, 256, size=int(rng.integers(0, 2000)),
+                           dtype=np.uint8)), int(rng.integers(1, 64)))
+for buf in [b"1\\t" + b"x"*10000, b"\\t"*100, b"9"*500, b"", b"\\n"*50,
+            b"1\\t2\\t3"]:
+    run(buf, 4)
+print("ASAN-OK")
+"""
+    env = dict(os.environ, LD_PRELOAD=asan, ASAN_OPTIONS="detect_leaks=0")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, env=env, cwd="/root/repo",
+    )
+    assert out.returncode == 0 and "ASAN-OK" in out.stdout, out.stderr[-2000:]
