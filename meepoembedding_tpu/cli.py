@@ -249,9 +249,20 @@ def cmd_train(args) -> int:
                     if args.maintenance_every and (i + 1) % args.maintenance_every == 0:
                         tr.maintenance()
             else:
+                eval_stream = None
+                if run_cfg.eval_every:
+                    # held-out stream: same source, decorrelated seed
+                    import dataclasses as _dc
+
+                    eval_stream = make_train_stream(
+                        args.data, _dc.replace(run_cfg, seed=run_cfg.seed + 7919),
+                        model_cfg, jax.process_index(), jax.process_count(),
+                        bag_len=args.bag_len,
+                    )
                 tr = train(
                     run_cfg, table_cfg, model_cfg, stream,
                     maintenance_every=args.maintenance_every, spill=spill,
+                    eval_stream=eval_stream,
                 )
             if args.ckpt_dir:
                 tr.save_checkpoint(args.ckpt_dir)

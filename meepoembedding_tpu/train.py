@@ -204,19 +204,40 @@ def train(
     logger: Optional[JsonlLogger] = None,
     maintenance_every: int = 50,
     spill=None,
+    eval_stream=None,
 ) -> Trainer:
-    """Run `run_cfg.steps` training steps from a batch iterator."""
+    """Run `run_cfg.steps` training steps from a batch iterator. With
+    run_cfg.eval_every > 0 and an `eval_stream`, a held-out batch is scored
+    (probe-only, no inserts) every eval_every steps and logged as
+    eval_loss/eval_auc."""
     logger = logger or JsonlLogger(echo=True)
     tr = Trainer(run_cfg, table_cfg, model_cfg, spill=spill)
     loss_m = Meter()
     t0 = time.perf_counter()
     examples = 0
+    eval_iter = None
+    if run_cfg.eval_every and eval_stream is not None:
+        # at most one eval batch per train step can ever be consumed
+        eval_iter = eval_stream.batches(run_cfg.steps) if hasattr(
+            eval_stream, "batches"
+        ) else iter(eval_stream)
     for i, batch in enumerate(stream.batches(run_cfg.steps)):
         out = tr.train_step(batch)
         loss_m.update(out["loss"])
         examples += len(batch["label"])
         if maintenance_every and (i + 1) % maintenance_every == 0:
             tr.maintenance()
+        if eval_iter is not None and (i + 1) % run_cfg.eval_every == 0:
+            try:
+                eb = next(eval_iter)
+            except StopIteration:
+                eval_iter = None
+            else:
+                ev = tr.eval_step(eb)
+                ea = StreamingAUC()
+                ea.update(np.asarray(ev["logits"]), np.asarray(eb["label"]))
+                logger.log(step=tr.step, eval_loss=ev["loss"],
+                           eval_auc=ea.compute())
         if (i + 1) % run_cfg.log_every == 0:
             jax.block_until_ready(tr.shard.counters)
             dt = time.perf_counter() - t0

@@ -128,3 +128,24 @@ def test_ftrl_trains_and_l1_sparsifies():
     rows = np.asarray(xla_ops.lookup_rows(spec, shard, jnp.asarray(slots)))
     frac_zero = float((rows == 0.0).mean())
     assert frac_zero > 0.05, f"l1 produced no exact zeros: {frac_zero}"
+
+
+def test_eval_every_logs_holdout_metrics():
+    """run_cfg.eval_every > 0 + an eval stream emits eval_loss/eval_auc via
+    the logger at the configured cadence (probe-only holdout scoring)."""
+    run, table, model, data = _cfgs(batch=64)
+    run = RunConfig(batch_size=64, steps=9, log_every=100, eval_every=3)
+    records = []
+
+    class Capture:
+        def log(self, **kw):
+            records.append(kw)
+
+    ev = SyntheticStream(SyntheticConfig(
+        num_dense=4, num_sparse=4, batch_size=64, vocab_per_feature=500, seed=99,
+    ))
+    train(run, table, model, SyntheticStream(data), logger=Capture(),
+          eval_stream=ev)
+    evals = [r for r in records if "eval_auc" in r]
+    assert len(evals) == 3
+    assert all(np.isfinite(r["eval_loss"]) for r in evals)
