@@ -23,10 +23,13 @@ def mlp_init(key, sizes: Sequence[int], in_dim: int, dtype=jnp.float32):
 
 def mlp_apply(params, x, final_activation: bool = False):
     """ReLU MLP; the last layer is linear unless final_activation. Matmuls
-    stay batched and 2-D so XLA tiles them onto the MXU."""
+    stay batched and 2-D so XLA tiles them onto the MXU. Activations are
+    kept in the params' dtype (bf16 params -> bf16 activations with f32
+    MXU accumulation — the standard TPU mixed-precision recipe)."""
     n = len(params)
     for i, (w, b) in enumerate(params):
-        x = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+        x = (jnp.dot(x.astype(w.dtype), w,
+                     preferred_element_type=jnp.float32) + b).astype(w.dtype)
         if i < n - 1 or final_activation:
             x = jax.nn.relu(x)
     return x

@@ -17,10 +17,12 @@ class CtrMlp:
     def init(self, key):
         cfg = self.cfg
         in_dim = cfg.num_dense_features + cfg.num_sparse_features * cfg.embedding_dim
-        return {"mlp": mlp_init(key, cfg.top_mlp, in_dim)}
+        return {"mlp": mlp_init(key, cfg.top_mlp, in_dim, jnp.dtype(cfg.dtype))}
 
     def apply(self, params, dense, emb):
         """dense [B, ND]; emb [B, NS, D] -> logits [B]."""
         b = dense.shape[0]
-        z = jnp.concatenate([dense, emb.reshape(b, -1)], axis=1)
-        return mlp_apply(params["mlp"], z).reshape(-1)
+        z = jnp.concatenate(
+            [dense, emb.reshape(b, -1)], axis=1, dtype=self.cfg.dtype
+        )
+        return mlp_apply(params["mlp"], z).reshape(-1).astype(jnp.float32)

@@ -28,22 +28,27 @@ class DCNv2:
     def init(self, key):
         cfg = self.cfg
         keys = jax.random.split(key, cfg.num_cross_layers + 2)
+        dt = jnp.dtype(cfg.dtype)
         cross = []
         for i in range(cfg.num_cross_layers):
-            w = jax.random.normal(keys[i], (self.in_dim, self.in_dim), jnp.float32)
-            cross.append((w * jnp.sqrt(1.0 / self.in_dim), jnp.zeros((self.in_dim,))))
-        deep = mlp_init(keys[-2], self.cfg.top_mlp[:-1] or (64,), self.in_dim)
+            w = jax.random.normal(keys[i], (self.in_dim, self.in_dim), dt)
+            cross.append((w * jnp.sqrt(1.0 / self.in_dim).astype(dt),
+                          jnp.zeros((self.in_dim,), dt)))
+        deep = mlp_init(keys[-2], self.cfg.top_mlp[:-1] or (64,), self.in_dim, dt)
         deep_out = (self.cfg.top_mlp[:-1] or (64,))[-1]
-        head = mlp_init(keys[-1], (1,), self.in_dim + deep_out)
+        head = mlp_init(keys[-1], (1,), self.in_dim + deep_out, dt)
         return {"cross": cross, "deep": deep, "head": head}
 
     def apply(self, params, dense, emb):
         """dense [B, ND]; emb [B, NS, D] -> logits [B]."""
         b = dense.shape[0]
-        x0 = jnp.concatenate([dense, emb.reshape(b, -1)], axis=1)  # [B, I]
+        x0 = jnp.concatenate(
+            [dense, emb.reshape(b, -1)], axis=1, dtype=self.cfg.dtype
+        )  # [B, I]
         x = x0
         for w, bias in params["cross"]:
-            x = x0 * (jnp.dot(x, w, preferred_element_type=jnp.float32) + bias) + x
+            x = x0 * (jnp.dot(x, w, preferred_element_type=jnp.float32) + bias
+                      ).astype(x0.dtype) + x
         deep = mlp_apply(params["deep"], x0, final_activation=True)
         z = jnp.concatenate([x, deep], axis=1)
-        return mlp_apply(params["head"], z).reshape(-1)
+        return mlp_apply(params["head"], z).reshape(-1).astype(jnp.float32)

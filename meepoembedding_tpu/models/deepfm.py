@@ -32,13 +32,14 @@ class DeepFM:
 
     def init(self, key):
         cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
         k1, k2, k3 = jax.random.split(key, 3)
         # per-feature first-order projection [S, D] (feature i's scalar
         # weight for an id is w1[i] . e_id)
-        w1 = jax.random.normal(k1, (cfg.num_sparse_features, cfg.embedding_dim),
-                               jnp.float32) * jnp.sqrt(1.0 / cfg.embedding_dim)
-        deep = mlp_init(k2, cfg.top_mlp, self.in_dim)
-        wd = jax.random.normal(k3, (cfg.num_dense_features,), jnp.float32) * 0.1
+        w1 = (jax.random.normal(k1, (cfg.num_sparse_features, cfg.embedding_dim),
+                                dt) * jnp.sqrt(1.0 / cfg.embedding_dim).astype(dt))
+        deep = mlp_init(k2, cfg.top_mlp, self.in_dim, dt)
+        wd = jax.random.normal(k3, (cfg.num_dense_features,), dt) * dt.type(0.1)
         return {"w1": w1, "deep": deep, "wd": wd, "b": jnp.zeros(())}
 
     def apply(self, params, dense, emb):
@@ -47,7 +48,10 @@ class DeepFM:
         s = jnp.sum(emb, axis=1)  # [B, D]
         fm2 = 0.5 * jnp.sum(s * s - jnp.sum(emb * emb, axis=1), axis=1)  # [B]
         first = jnp.sum(emb * params["w1"][None, :, :], axis=(1, 2))  # [B]
-        x = jnp.concatenate([dense, emb.reshape(b, -1)], axis=1)
-        deep = mlp_apply(params["deep"], x).reshape(-1)  # top_mlp ends at 1
-        lin_d = jnp.dot(dense, params["wd"], preferred_element_type=jnp.float32)
-        return fm2 + first + deep + lin_d + params["b"]
+        x = jnp.concatenate(
+            [dense, emb.reshape(b, -1)], axis=1, dtype=params["wd"].dtype
+        )
+        deep = mlp_apply(params["deep"], x).reshape(-1).astype(jnp.float32)
+        lin_d = jnp.dot(dense.astype(params["wd"].dtype), params["wd"],
+                        preferred_element_type=jnp.float32)
+        return (fm2 + first + deep + lin_d + params["b"]).astype(jnp.float32)

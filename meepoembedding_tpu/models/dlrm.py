@@ -35,19 +35,22 @@ class DLRM:
         cfg = self.cfg
         k1, k2 = jax.random.split(key)
         top_in = cfg.embedding_dim + self._interact_dim
+        dt = jnp.dtype(cfg.dtype)
         return {
-            "bottom": mlp_init(k1, cfg.bottom_mlp, cfg.num_dense_features),
-            "top": mlp_init(k2, cfg.top_mlp, top_in),
+            "bottom": mlp_init(k1, cfg.bottom_mlp, cfg.num_dense_features, dt),
+            "top": mlp_init(k2, cfg.top_mlp, top_in, dt),
         }
 
     def apply(self, params, dense, emb):
         """dense [B, ND] f32; emb [B, NS, D] -> logits [B]."""
         x = mlp_apply(params["bottom"], dense, final_activation=True)  # [B, D]
-        feats = jnp.concatenate([x[:, None, :], emb], axis=1)  # [B, F, D]
+        feats = jnp.concatenate(
+            [x[:, None, :], emb.astype(x.dtype)], axis=1
+        )  # [B, F, D]
         inter = jnp.einsum(
             "bfd,bgd->bfg", feats, feats, preferred_element_type=jnp.float32
         )
         iu, ju = self._triu
         flat = inter[:, iu, ju]  # [B, F*(F-1)/2]
-        z = jnp.concatenate([x, flat], axis=1)
-        return mlp_apply(params["top"], z).reshape(-1)
+        z = jnp.concatenate([x, flat.astype(x.dtype)], axis=1)
+        return mlp_apply(params["top"], z).reshape(-1).astype(jnp.float32)

@@ -242,25 +242,43 @@ def dense_sgd_init(params):
 
 
 def dense_sgd_update(params, grads, state, lr: float):
-    new = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+    # cast back to the param dtype: bf16 towers must stay bf16 (math in f32)
+    new = jax.tree.map(
+        lambda p, g: (p.astype(jnp.float32) - lr * g).astype(p.dtype),
+        params, grads,
+    )
     return new, state
 
 
 def dense_adam_init(params):
-    z = jax.tree.map(jnp.zeros_like, params)
-    return (z, jax.tree.map(jnp.zeros_like, params), jnp.zeros((), jnp.int32))
+    # moments in f32 regardless of the tower dtype (bf16 moment decay at
+    # b2=0.999 rounds to a no-op)
+    z = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+    return (
+        z,
+        jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params),
+        jnp.zeros((), jnp.int32),
+    )
 
 
 def dense_adam_update(params, grads, state, lr: float, b1=0.9, b2=0.999, eps=1e-8):
     m, v, t = state
     t = t + 1
-    m = jax.tree.map(lambda m_, g: b1 * m_ + (1 - b1) * g, m, grads)
-    v = jax.tree.map(lambda v_, g: b2 * v_ + (1 - b2) * g * g, v, grads)
+    m = jax.tree.map(
+        lambda m_, g: b1 * m_ + (1 - b1) * g.astype(jnp.float32), m, grads
+    )
+    v = jax.tree.map(
+        lambda v_, g: b2 * v_ + (1 - b2) * jnp.square(g.astype(jnp.float32)),
+        v, grads,
+    )
     tf = t.astype(jnp.float32)
     c1 = 1.0 / (1.0 - b1**tf)
     c2 = 1.0 / (1.0 - b2**tf)
     new = jax.tree.map(
-        lambda p, m_, v_: p - lr * (m_ * c1) * jax.lax.rsqrt(v_ * c2 + eps * eps),
+        lambda p, m_, v_: (
+            p.astype(jnp.float32)
+            - lr * (m_ * c1) * jax.lax.rsqrt(v_ * c2 + eps * eps)
+        ).astype(p.dtype),
         params,
         m,
         v,

@@ -125,3 +125,26 @@ def test_deepfm_trains_e2e():
     ))
     tr = train(run, table, model, stream)
     assert tr.auc.compute() > 0.54, tr.auc.compute()
+
+
+def test_bf16_tower_trains_all_models():
+    """model.dtype=bfloat16: params/activations in bf16, f32 MXU accumulate,
+    f32 logits — every model family trains with finite loss."""
+    from meepoembedding_tpu.config import RunConfig, TableConfig
+    from meepoembedding_tpu.data.synthetic import SyntheticConfig, SyntheticStream
+    from meepoembedding_tpu.train import train
+
+    for kind in ("dlrm", "ctr_mlp", "dcn", "deepfm"):
+        run = RunConfig(batch_size=64, steps=3, log_every=100)
+        table = TableConfig(dim=8, capacity=1 << 12)
+        model = ModelConfig(
+            kind=kind, num_dense_features=4, num_sparse_features=3,
+            embedding_dim=8, bottom_mlp=(16, 8), top_mlp=(16, 1),
+            dtype="bfloat16",
+        )
+        tr = train(run, table, model, SyntheticStream(SyntheticConfig(
+            num_dense=4, num_sparse=3, batch_size=64, vocab_per_feature=200,
+        )))
+        leaves = jax.tree.leaves(tr.params)
+        assert any(l.dtype == jnp.bfloat16 for l in leaves), kind
+        assert np.isfinite(tr.auc.compute()), kind
