@@ -212,7 +212,20 @@ def cmd_train(args) -> int:
                 mesh = make_mesh2d(jax.device_count() // col, col)
                 tr = ColShardedTrainer(run_cfg, table_cfg, model_cfg, mesh)
             else:
-                tr = ShardedTrainer(run_cfg, table_cfg, model_cfg, spill=spill)
+                # run.mesh_shape=(N,) restricts the 1-D shard mesh to the
+                # first N local devices (default: all of them)
+                mesh = None
+                if run_cfg.mesh_shape:
+                    from meepoembedding_tpu.parallel.mesh import make_mesh
+
+                    n = int(np.prod(run_cfg.mesh_shape))
+                    assert n <= jax.device_count(), (
+                        f"run.mesh_shape={run_cfg.mesh_shape} needs {n} devices, "
+                        f"have {jax.device_count()}"
+                    )
+                    mesh = make_mesh(n)
+                tr = ShardedTrainer(run_cfg, table_cfg, model_cfg, spill=spill,
+                                    mesh=mesh)
             if args.restore:
                 tr.load_checkpoint(args.restore)
             logger = JsonlLogger(echo=True)
