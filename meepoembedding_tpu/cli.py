@@ -432,6 +432,19 @@ def cmd_serve(args) -> int:
 
     run_cfg, table_cfg, model_cfg = load_configs(args.config, args.set)
     model_cfg = dataclasses.replace(model_cfg, embedding_dim=table_cfg.dim)
+    if getattr(args, "http", 0):
+        # online endpoint: block serving HTTP until interrupted
+        from meepoembedding_tpu.serving import ScoringService, make_http_server
+
+        svc = ScoringService(args.ckpt, table_cfg, model_cfg)
+        srv = make_http_server(svc, args.http)
+        print(json.dumps({"serving": f"http://127.0.0.1:{args.http}",
+                          **svc.stats()}), flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        return 0
     from meepoembedding_tpu import checkpoint
     from meepoembedding_tpu.models import build_model
 
@@ -679,6 +692,9 @@ def main(argv=None) -> int:
                     help="scores per batch to include in the JSON output")
     sv.add_argument("--bag-len", type=int, default=1,
                     help="synthetic multi-hot bag length L")
+    sv.add_argument("--http", type=int, default=0, metavar="PORT",
+                    help="serve an HTTP scoring endpoint on 127.0.0.1:PORT "
+                         "(POST /score, GET /healthz) instead of batch mode")
     sv.add_argument("--distributed", action="store_true",
                     help="row-shard the restored table over all local devices")
     sv.set_defaults(fn=cmd_serve)

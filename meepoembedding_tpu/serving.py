@@ -1,0 +1,144 @@
+"""Online scoring service (SURVEY.md L7; README.md:2 "recommendation,
+search, CTR and advertising systems" — the serving half).
+
+`ScoringService` restores a checkpoint once (table + dense tower) and scores
+request batches with probe-only lookups: no insert-on-miss, unknown ids
+contribute zero embeddings, multi-hot bags pool with the configured
+combiner. `serve_http` exposes it over a dependency-free stdlib HTTP server:
+
+  POST /score   {"dense": [[...]], "ids": [[...]]}  ->  {"scores": [...]}
+  GET  /healthz ->  {"ok": true, "rows": N, "step": k, "dim": d}
+
+Scoring is jitted per input shape (static shapes under jit): production
+traffic with a fixed batch geometry compiles once; the handler pads ragged
+request batches up to the next power of two to bound recompiles.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class ScoringService:
+    def __init__(self, ckpt_path: str, table_cfg, model_cfg):
+        import jax
+
+        from meepoembedding_tpu import checkpoint
+        from meepoembedding_tpu.models import build_model
+        from meepoembedding_tpu.table.runtime import DynamicEmbeddingTable
+
+        self.table_cfg, self.model_cfg = table_cfg, model_cfg
+        self.table = DynamicEmbeddingTable(table_cfg)
+        self.manifest = self.table.load(ckpt_path)
+        self.model = build_model(model_cfg)
+        params = self.model.init(jax.random.PRNGKey(0))
+        if "params" in self.manifest.get("dense", []):
+            params = checkpoint.load_dense(ckpt_path, "params", params)
+        self.params = params
+        self._score_fns = {}
+        self._lock = threading.Lock()  # single device; serialize steps
+
+    def _score_fn(self, ids_shape):
+        import jax
+        import jax.numpy as jnp
+
+        from meepoembedding_tpu.ops import pooling
+        from meepoembedding_tpu.table import hashing
+
+        fn = self._score_fns.get(ids_shape)
+        if fn is not None:
+            return fn
+        model_cfg, dim = self.model_cfg, self.table_cfg.dim
+
+        @jax.jit
+        def score(shard, params, dense, rows, hi, lo):
+            bag_valid = hashing.is_valid(hi, lo) if hi.ndim == 3 else None
+            emb = pooling.pool_or_reshape(
+                rows, hi, bag_valid, dim, model_cfg.combiner
+            )
+            return jax.nn.sigmoid(self.model.apply(params, dense, emb))
+
+        self._score_fns[ids_shape] = score
+        return score
+
+    def score(self, dense: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        """[B, ND] f32 + [B, S] or [B, S, L] int64 -> [B] probabilities."""
+        import jax.numpy as jnp
+
+        from meepoembedding_tpu.table import hashing
+
+        dense = np.asarray(dense, np.float32)
+        ids = np.asarray(ids, np.int64)
+        with self._lock:
+            rows = self.table.lookup(ids.reshape(-1), train=False)
+            hi, lo = hashing.split_ids(ids)
+            fn = self._score_fn(ids.shape)
+            p = fn(self.table.shard, self.params, jnp.asarray(dense), rows,
+                   jnp.asarray(hi), jnp.asarray(lo))
+            return np.asarray(p)
+
+    def stats(self) -> dict:
+        return {
+            "ok": True,
+            "rows": len(self.table),
+            "step": int(self.manifest.get("step", 0)),
+            "dim": self.table_cfg.dim,
+        }
+
+
+def make_http_server(service: ScoringService, port: int) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet: stdout is the service's JSON log
+            pass
+
+        def _reply(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, service.stats())
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/score":
+                self._reply(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                dense = np.asarray(req["dense"], np.float32)
+                ids = np.asarray(req["ids"], np.int64)
+                if dense.ndim != 2 or ids.ndim not in (2, 3) or (
+                    len(dense) != len(ids)
+                ):
+                    raise ValueError(
+                        f"dense {dense.shape} / ids {ids.shape} mismatch"
+                    )
+                # pad the batch to the next power of two: bounds the set of
+                # compiled shapes for ragged request sizes
+                b = len(dense)
+                bp = 1 << max(0, (b - 1).bit_length())
+                if bp != b:
+                    dense = np.concatenate(
+                        [dense, np.zeros((bp - b,) + dense.shape[1:], np.float32)]
+                    )
+                    from meepoembedding_tpu.table.hashing import EMPTY_ID
+
+                    pad = np.full((bp - b,) + ids.shape[1:], EMPTY_ID, np.int64)
+                    ids = np.concatenate([ids, pad])
+                scores = service.score(dense, ids)[:b]
+                self._reply(200, {"scores": np.round(scores, 6).tolist()})
+            except Exception as e:  # malformed request must not kill serving
+                self._reply(400, {"error": str(e)})
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)

@@ -277,3 +277,69 @@ def test_ckpt_export_cli(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert sum(1 for _ in open(tmp_path / "e.tsv")) == meta["rows"]
+
+
+def test_http_serving(tmp_path):
+    """serve --http: live endpoint scores requests with probe-only lookups;
+    health endpoint reports restored rows; ragged batches pad cleanly;
+    malformed requests return 400 without killing the server."""
+    import socket
+    import time
+    import urllib.request
+
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    common = [
+        "--set", "run.steps=4", "run.batch_size=64", "table.capacity=4096",
+        "table.dim=8", "model.kind=ctr_mlp", "model.num_sparse_features=3",
+        "model.num_dense_features=4", "model.top_mlp=16,1",
+    ]
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "train", "--data", "synthetic",
+         "--ckpt-dir", str(tmp_path / "ck"), *common],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "meepoembedding_tpu", "serve",
+         "--ckpt", str(tmp_path / "ck"), "--http", str(port), *common],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+    )
+    try:
+        base = f"http://127.0.0.1:{port}"
+        for _ in range(120):
+            try:
+                h = json.loads(urllib.request.urlopen(base + "/healthz",
+                                                      timeout=2).read())
+                break
+            except OSError:
+                time.sleep(0.5)
+        else:
+            raise AssertionError(f"server never came up: {proc.stderr.read()[-2000:]}")
+        assert h["ok"] and h["rows"] > 0 and h["dim"] == 8
+        req = json.dumps({
+            "dense": [[0.1] * 4] * 3,  # ragged batch of 3 -> padded to 4
+            "ids": [[1, 2, 3], [4, 5, 6], [7, 8, 9]],
+        }).encode()
+        r = json.loads(urllib.request.urlopen(
+            urllib.request.Request(base + "/score", data=req,
+                                   headers={"Content-Type": "application/json"}),
+            timeout=60,
+        ).read())
+        assert len(r["scores"]) == 3
+        assert all(0.0 <= p <= 1.0 for p in r["scores"])
+        # malformed -> 400, server stays alive
+        bad = urllib.request.Request(base + "/score", data=b"{not json",
+                                     headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=10)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        h2 = json.loads(urllib.request.urlopen(base + "/healthz", timeout=10).read())
+        assert h2["ok"]
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
