@@ -21,6 +21,11 @@ class PrefetchStream:
         self.inner = inner
         self.depth = depth
 
+    def __getattr__(self, name):
+        # transparent wrapper: expose the inner stream's attributes
+        # (host_id, paths, ...) to existing consumers
+        return getattr(self.inner, name)
+
     def batches(self, steps: Optional[int] = None) -> Iterator[dict]:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         err: list = []
