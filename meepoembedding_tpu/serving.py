@@ -8,6 +8,8 @@ combiner. `serve_http` exposes it over a dependency-free stdlib HTTP server:
 
   POST /score   {"dense": [[...]], "ids": [[...]]}  ->  {"scores": [...]}
   GET  /healthz ->  {"ok": true, "rows": N, "step": k, "dim": d}
+  GET  /metrics ->  Prometheus text format: table counters, live rows,
+                    request count and latency quantiles
 
 Scoring is jitted per input shape (static shapes under jit): production
 traffic with a fixed batch geometry compiles once; the handler pads ragged
@@ -41,6 +43,8 @@ class ScoringService:
         self.params = params
         self._score_fns = {}
         self._lock = threading.Lock()  # single device; serialize steps
+        self._lat_ms: list = []  # ring of recent scoring latencies
+        self._requests = 0
 
     def _score_fn(self, ids_shape):
         import jax
@@ -67,19 +71,50 @@ class ScoringService:
 
     def score(self, dense: np.ndarray, ids: np.ndarray) -> np.ndarray:
         """[B, ND] f32 + [B, S] or [B, S, L] int64 -> [B] probabilities."""
+        import time
+
         import jax.numpy as jnp
 
         from meepoembedding_tpu.table import hashing
 
         dense = np.asarray(dense, np.float32)
         ids = np.asarray(ids, np.int64)
+        t0 = time.perf_counter()
         with self._lock:
             rows = self.table.lookup(ids.reshape(-1), train=False)
             hi, lo = hashing.split_ids(ids)
             fn = self._score_fn(ids.shape)
-            p = fn(self.table.shard, self.params, jnp.asarray(dense), rows,
+            p = np.asarray(
+                fn(self.table.shard, self.params, jnp.asarray(dense), rows,
                    jnp.asarray(hi), jnp.asarray(lo))
-            return np.asarray(p)
+            )
+            self._requests += 1
+            self._lat_ms.append((time.perf_counter() - t0) * 1e3)
+            if len(self._lat_ms) > 1024:
+                del self._lat_ms[:512]
+            return p
+
+    def metrics_text(self) -> str:
+        """Prometheus exposition format: counters + latency quantiles."""
+        lines = [
+            "# TYPE meepo_table_rows gauge",
+            f"meepo_table_rows {len(self.table)}",
+            "# TYPE meepo_requests_total counter",
+            f"meepo_requests_total {self._requests}",
+        ]
+        for name, v in self.table.counters().items():
+            if isinstance(v, (int, float)):
+                lines.append(f"# TYPE meepo_table_{name}_total counter")
+                lines.append(f"meepo_table_{name}_total {v}")
+        if self._lat_ms:
+            a = np.asarray(self._lat_ms)
+            lines.append("# TYPE meepo_score_latency_ms summary")
+            for q in (0.5, 0.95, 0.99):
+                lines.append(
+                    f'meepo_score_latency_ms{{quantile="{q}"}} '
+                    f"{float(np.quantile(a, q)):.3f}"
+                )
+        return "\n".join(lines) + "\n"
 
     def stats(self) -> dict:
         return {
@@ -106,6 +141,13 @@ def make_http_server(service: ScoringService, port: int) -> ThreadingHTTPServer:
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, service.stats())
+            elif self.path == "/metrics":
+                body = service.metrics_text().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._reply(404, {"error": "unknown path"})
 

@@ -340,6 +340,9 @@ def test_http_serving(tmp_path):
             assert e.code == 400
         h2 = json.loads(urllib.request.urlopen(base + "/healthz", timeout=10).read())
         assert h2["ok"]
+        m = urllib.request.urlopen(base + "/metrics", timeout=10).read().decode()
+        assert "meepo_requests_total 1" in m
+        assert "meepo_table_rows" in m and 'quantile="0.5"' in m
     finally:
         proc.terminate()
         proc.wait(timeout=10)
