@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--save-every", type=int, default=0)
     ap.add_argument("--col", type=int, default=1,
                     help="column shards: 2-D (rows x col) grid over all devices")
+    ap.add_argument("--capacity", type=int, default=1 << 12)
+    ap.add_argument("--grow-at", type=float, default=0.0,
+                    help="table.grow_at_load: lockstep distributed growth")
     ap.add_argument("--erase", type=int, default=0,
                     help="after training, remove ids [0, N) via the "
                          "distributed exchange_erase (1-D trainer only)")
@@ -51,7 +54,8 @@ def main():
     rows = S // args.col
     global_batch = 16 * rows
     run = RunConfig(batch_size=global_batch, steps=args.steps)
-    table = TableConfig(dim=8, capacity=1 << 12)
+    table = TableConfig(dim=8, capacity=args.capacity,
+                        grow_at_load=args.grow_at or None)
     model = ModelConfig(
         kind="ctr_mlp", num_dense_features=4, num_sparse_features=3,
         embedding_dim=8, top_mlp=(16, 1),
@@ -100,6 +104,7 @@ def main():
         "step": tr.step,
         "loss": losses[-1],
         "removed": removed,
+        "capacity": tr.spec.capacity,
         "counters": tr.counters(),
     }), flush=True)
 

@@ -178,3 +178,23 @@ def test_two_process_distributed_erase(tmp_path):
     with open(os.path.join(ckpt, "manifest.json")) as f:
         m = json.load(f)
     assert sum(m["counts"]) == r0["rows"]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_growth(tmp_path):
+    """2-process lockstep growth: a tiny initial capacity (64 rows/shard)
+    must double during training on BOTH processes without any drop; the
+    post-growth checkpoint covers all rows."""
+    ckpt = str(tmp_path / "ckg")
+    outs = _run_job(2, 2, ckpt, ["--steps", "4", "--grow-at", "0.6", "--capacity", "256"])
+    results = []
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed:\n{err[-3000:]}"
+        results.append(json.loads(out.strip().splitlines()[-1]))
+    r0, r1 = results
+    assert r0["capacity"] == r1["capacity"] > 128  # per-shard, grew in lockstep
+    assert r0["rows"] == r1["rows"] > 0
+    assert r0["counters"]["drops"] == 0
+    with open(os.path.join(ckpt, "manifest.json")) as f:
+        m = json.load(f)
+    assert sum(m["counts"]) == r0["rows"]
