@@ -31,6 +31,28 @@ def log(*a):
 
 
 def main():
+    # Device-init watchdog: a dead/unreachable TPU tunnel makes jax.devices()
+    # block forever inside C (observed: multi-hour axon outage). Emit a
+    # parseable failure line and exit instead of hanging the harness.
+    import threading
+
+    init_done = threading.Event()
+
+    def _watchdog():
+        timeout = float(os.environ.get("MEEPO_BENCH_INIT_TIMEOUT", 600))
+        if not init_done.wait(timeout):
+            print(json.dumps({
+                "metric": "lookup_update_ids_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "ids/s",
+                "vs_baseline": 0.0,
+                "error": f"device init timed out after {timeout:.0f}s "
+                         "(TPU tunnel unreachable)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
 
@@ -47,6 +69,7 @@ def main():
     vdtype = os.environ.get("MEEPO_BENCH_DTYPE", "float32")
 
     dev = jax.devices()[0]
+    init_done.set()
     log(f"device: {dev.device_kind}, cap={cap}, batch={batch}, dim={dim}")
 
     # max_probe_rounds=2: pair-probing (one 256-slot group per key) halves
