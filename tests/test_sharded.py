@@ -253,3 +253,29 @@ def test_sharded_online_growth(mesh, rng):
         h, l = hashing.split_ids(ids_s)
         owners = np.asarray(hashing.owner_of(jnp.asarray(h), jnp.asarray(l), kh.shape[0]))
         assert (owners == s).all()
+
+
+def test_erase_after_growth_uses_fresh_geometry(mesh, rng):
+    """grow() must invalidate the cached jitted erase fns (they bind the old
+    spec's shapes); removing ids right after a growth has to work and hit
+    the new geometry."""
+    run = RunConfig(batch_size=512, steps=2, dense_learning_rate=3e-3)
+    table = TableConfig(dim=8, capacity=1 << 12)
+    model = ModelConfig(
+        kind="ctr_mlp", num_dense_features=4, num_sparse_features=4,
+        embedding_dim=8, bottom_mlp=(16, 8), top_mlp=(32, 1),
+    )
+    data = SyntheticConfig(num_dense=4, num_sparse=4, batch_size=512,
+                           vocab_per_feature=400)
+    tr = ShardedTrainer(run, table, model, mesh=mesh)
+    seen = set()
+    for batch in SyntheticStream(data).batches(2):
+        tr.train_step(batch)
+        seen.update(np.asarray(batch["ids"]).reshape(-1).tolist())
+    ids = np.array(sorted(seen), np.int64)
+    assert tr.remove(ids[:10]) == 10  # caches an erase fn at the old spec
+    tr.grow()
+    assert tr.spec.capacity == 2 * TableSpec.from_config(table, 8).capacity
+    removed = tr.remove(ids[10:50])
+    assert removed == 40
+    assert len(tr) == len(seen) - 50
