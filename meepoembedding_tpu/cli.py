@@ -148,6 +148,24 @@ def _make_spill(args, table_cfg):
 
 # --- subcommands ----------------------------------------------------------------
 
+def _expand_paths(data: str):
+    """Comma-separated paths with glob support (Criteo Terabyte day-files:
+    --data 'day_*.gz'). Order is sorted within each pattern for determinism;
+    a pattern matching nothing is a hard error (silent empty input hides
+    typos)."""
+    import glob as _glob
+
+    out = []
+    for p in data.split(","):
+        if any(ch in p for ch in "*?["):
+            hits = sorted(_glob.glob(p))
+            assert hits, f"--data pattern matched no files: {p}"
+            out.extend(hits)
+        else:
+            out.append(p)
+    return out
+
+
 def make_train_stream(data: str, run_cfg, model_cfg, host_id: int, num_hosts: int,
                       bag_len: int = 1):
     """Multi-host data sharding (SURVEY.md C17): each process reads a DISJOINT
@@ -169,7 +187,7 @@ def make_train_stream(data: str, run_cfg, model_cfg, host_id: int, num_hosts: in
 
     # file-backed input: overlap parse (GIL-free native) with device steps
     return PrefetchStream(CriteoStream(
-        data.split(","), batch_size=run_cfg.batch_size, loop=True,
+        _expand_paths(data), batch_size=run_cfg.batch_size, loop=True,
         host_id=host_id, num_hosts=num_hosts,
     ))
 
@@ -461,7 +479,7 @@ def cmd_serve(args) -> int:
     else:
         from meepoembedding_tpu.data.criteo import CriteoStream
 
-        stream = CriteoStream(args.data.split(","), batch_size=run_cfg.batch_size)
+        stream = CriteoStream(_expand_paths(args.data), batch_size=run_cfg.batch_size)
 
     lat_ms = []
     if getattr(args, "distributed", False) and jax.device_count() > 1:
