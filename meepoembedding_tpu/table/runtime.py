@@ -172,6 +172,7 @@ class DynamicEmbeddingTable:
         self.spill = spill  # optional KVBackend cold tier (SURVEY.md C10/§3.4)
         self._last_slots = None
         self._last_inverse = None
+        self._last_n = None
         self._codec = None
         self._promoter = None
         if spill is not None:
@@ -210,20 +211,29 @@ class DynamicEmbeddingTable:
         """[n] int64 ids -> [n, dim] rows. train=True inserts on miss; with a
         spill tier, cold-tier hits promote back asynchronously (§3.4). With
         cfg.grow_at_load set, the table grows by rehash before a batch that
-        could overflow it (SURVEY.md C11)."""
-        hi, lo = hashing.split_ids(ids64)
+        could overflow it (SURVEY.md C11).
+
+        Batches pad internally to the next power of two (invalid-sentinel
+        lanes are inert end to end), so variable request sizes compile
+        O(log n) programs instead of one per distinct n."""
+        n = len(np.asarray(ids64).reshape(-1))
+        npad = max(1, 1 << max(0, (n - 1).bit_length()))
+        ids_p = np.full((npad,), hashing.EMPTY_ID, np.int64)
+        ids_p[:n] = np.asarray(ids64, np.int64).reshape(-1)
+        hi, lo = hashing.split_ids(ids_p)
         hi, lo = jnp.asarray(hi), jnp.asarray(lo)
         if train:
-            self._maybe_grow(len(ids64))
+            self._maybe_grow(n)
             self._apply_promotions()
             self.shard, rows, slot, inverse, miss_info = _lookup_train(
                 self.spec, self.shard, hi, lo, jnp.int32(self.step)
             )
             self._last_slots, self._last_inverse = slot, inverse
+            self._last_n = n
             if self._promoter is not None:
                 self._promoter.feed(*miss_info)
-            return rows
-        return _lookup_infer(self.spec, self.shard, hi, lo)
+            return rows[:n]
+        return _lookup_infer(self.spec, self.shard, hi, lo)[:n]
 
     def _apply_promotions(self):
         """Drain staged cold->hot promotions into the device table."""
@@ -250,6 +260,16 @@ class DynamicEmbeddingTable:
     def apply_grads(self, grads: jax.Array):
         """Sparse update for the ids of the last train lookup."""
         assert self._last_slots is not None, "apply_grads requires a prior train lookup"
+        grads = jnp.asarray(grads)
+        npad = self._last_inverse.shape[0]
+        if grads.shape[0] != npad:  # pad to the lookup's padded batch
+            assert grads.shape[0] == self._last_n, (
+                f"grads rows {grads.shape[0]} != last lookup batch {self._last_n}"
+            )
+            grads = jnp.concatenate(
+                [grads, jnp.zeros((npad - grads.shape[0],) + grads.shape[1:],
+                                  grads.dtype)]
+            )
         self.shard = _apply_grads(
             self.spec, self.shard, self._last_slots, self._last_inverse, grads
         )
