@@ -454,7 +454,8 @@ def cmd_serve(args) -> int:
         # online endpoint: block serving HTTP until interrupted
         from meepoembedding_tpu.serving import ScoringService, make_http_server
 
-        svc = ScoringService(args.ckpt, table_cfg, model_cfg)
+        svc = ScoringService(args.ckpt, table_cfg, model_cfg,
+                             quantize=getattr(args, "quantize", "none"))
         srv = make_http_server(svc, args.http)
         print(json.dumps({"serving": f"http://127.0.0.1:{args.http}",
                           **svc.stats()}), flush=True)
@@ -710,6 +711,9 @@ def main(argv=None) -> int:
                     help="scores per batch to include in the JSON output")
     sv.add_argument("--bag-len", type=int, default=1,
                     help="synthetic multi-hot bag length L")
+    sv.add_argument("--quantize", choices=["none", "int8"], default="none",
+                    help="serve from an int8-quantized read-only table "
+                         "(~3x smaller; --http mode)")
     sv.add_argument("--http", type=int, default=0, metavar="PORT",
                     help="serve an HTTP scoring endpoint on 127.0.0.1:PORT "
                          "(POST /score, GET /healthz) instead of batch mode")

@@ -26,7 +26,8 @@ import numpy as np
 
 
 class ScoringService:
-    def __init__(self, ckpt_path: str, table_cfg, model_cfg):
+    def __init__(self, ckpt_path: str, table_cfg, model_cfg,
+                 quantize: str = "none"):
         import jax
 
         from meepoembedding_tpu import checkpoint
@@ -34,8 +35,17 @@ class ScoringService:
         from meepoembedding_tpu.table.runtime import DynamicEmbeddingTable
 
         self.table_cfg, self.model_cfg = table_cfg, model_cfg
-        self.table = DynamicEmbeddingTable(table_cfg)
-        self.manifest = self.table.load(ckpt_path)
+        if quantize == "int8":
+            # read-only int8 serving table (serving_quant.py): ~3x smaller
+            from meepoembedding_tpu.serving_quant import QuantizedTable
+
+            self.table = QuantizedTable.from_checkpoint(ckpt_path)
+            self.manifest = checkpoint.read_manifest(ckpt_path)
+        elif quantize == "none":
+            self.table = DynamicEmbeddingTable(table_cfg)
+            self.manifest = self.table.load(ckpt_path)
+        else:
+            raise ValueError(f"quantize must be none|int8, got {quantize!r}")
         self.model = build_model(model_cfg)
         params = self.model.init(jax.random.PRNGKey(0))
         if "params" in self.manifest.get("dense", []):
@@ -59,7 +69,7 @@ class ScoringService:
         model_cfg, dim = self.model_cfg, self.table_cfg.dim
 
         @jax.jit
-        def score(shard, params, dense, rows, hi, lo):
+        def score(params, dense, rows, hi, lo):
             bag_valid = hashing.is_valid(hi, lo) if hi.ndim == 3 else None
             emb = pooling.pool_or_reshape(
                 rows, hi, bag_valid, dim, model_cfg.combiner
@@ -85,7 +95,7 @@ class ScoringService:
             hi, lo = hashing.split_ids(ids)
             fn = self._score_fn(ids.shape)
             p = np.asarray(
-                fn(self.table.shard, self.params, jnp.asarray(dense), rows,
+                fn(self.params, jnp.asarray(dense), rows,
                    jnp.asarray(hi), jnp.asarray(lo))
             )
             self._requests += 1
@@ -102,7 +112,7 @@ class ScoringService:
             "# TYPE meepo_requests_total counter",
             f"meepo_requests_total {self._requests}",
         ]
-        for name, v in self.table.counters().items():
+        for name, v in getattr(self.table, "counters", dict)().items():
             if isinstance(v, (int, float)):
                 lines.append(f"# TYPE meepo_table_{name}_total counter")
                 lines.append(f"meepo_table_{name}_total {v}")

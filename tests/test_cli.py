@@ -346,3 +346,73 @@ def test_http_serving(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_quantized_table_roundtrip(tmp_path, ):
+    """Int8 serving table: dequantized rows within absmax/254 per element,
+    absent ids zero, and the byte footprint is ~(8 + dim + 4)/(4*dim)."""
+    import numpy as np
+
+    from meepoembedding_tpu.serving_quant import QuantizedTable
+
+    rng = np.random.default_rng(0)
+    ids = rng.choice(10**9, size=500, replace=False).astype(np.int64)
+    vals = rng.normal(size=(500, 32)).astype(np.float32) * 0.1
+    qt = QuantizedTable(ids, vals)
+    out = np.asarray(qt.lookup(ids))
+    err = np.abs(out - vals)
+    bound = (np.abs(vals).max(axis=1) / 254 + 1e-9)[:, None]
+    assert (err <= bound + 1e-7).all()
+    missing = np.asarray(qt.lookup(np.array([10**12, 10**12 + 1])))
+    assert (missing == 0).all()
+    assert qt.nbytes() < 500 * 32 * 4 * 0.4  # ~2.9x smaller than f32
+
+
+def test_http_serving_quantized(tmp_path):
+    """serve --http --quantize int8 scores close to the f32 service."""
+    import socket
+    import time
+    import urllib.request
+
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    common = [
+        "--set", "run.steps=4", "run.batch_size=64", "table.capacity=4096",
+        "table.dim=8", "model.kind=ctr_mlp", "model.num_sparse_features=3",
+        "model.num_dense_features=4", "model.top_mlp=16,1",
+    ]
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "train", "--data", "synthetic",
+         "--ckpt-dir", str(tmp_path / "ck"), *common],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    req = json.dumps({"dense": [[0.1] * 4] * 2,
+                      "ids": [[1, 2, 3], [4, 5, 6]]}).encode()
+    scores = {}
+    for mode in ("none", "int8"):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "meepoembedding_tpu", "serve",
+             "--ckpt", str(tmp_path / "ck"), "--http", str(port),
+             "--quantize", mode, *common],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        try:
+            base = f"http://127.0.0.1:{port}"
+            for _ in range(120):
+                try:
+                    urllib.request.urlopen(base + "/healthz", timeout=2)
+                    break
+                except OSError:
+                    time.sleep(0.5)
+            r = json.loads(urllib.request.urlopen(
+                urllib.request.Request(base + "/score", data=req),
+                timeout=60,
+            ).read())
+            scores[mode] = r["scores"]
+        finally:
+            proc.terminate()
+            proc.wait(timeout=10)
+    assert np.allclose(scores["none"], scores["int8"], atol=0.02), scores
