@@ -48,8 +48,9 @@ class QuantizedTable:
         for data in checkpoint.iter_rows(path):
             ids_parts.append(data["ids"])
             val_parts.append(data["values"])
-        if not ids_parts:
-            return cls(np.zeros((0,), np.int64), np.zeros((0, 1), np.float32))
+        if not ids_parts or sum(len(p) for p in ids_parts) == 0:
+            dim = int(checkpoint.read_manifest(path)["dim"])
+            return cls(np.zeros((0,), np.int64), np.zeros((0, dim), np.float32))
         return cls(np.concatenate(ids_parts), np.concatenate(val_parts))
 
     def __len__(self) -> int:
