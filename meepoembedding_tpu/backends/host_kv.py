@@ -46,16 +46,17 @@ def _build_and_load() -> ctypes.CDLL:
         san = os.environ.get("MEEPO_SANITIZE") == "1"
         so = os.path.join(outdir, "libhostkv_asan.so" if san else "libhostkv.so")
         if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            tmp = f"{so}.tmp.{os.getpid()}"  # pid-unique: concurrent builds
             cmd = [
                 "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                "-march=native", "-pthread", src, "-o", so + ".tmp",
+                "-march=native", "-pthread", src, "-o", tmp,
             ]
             if san:
                 cmd[1:1] = ["-g", "-fsanitize=address,undefined",
                             "-fno-omit-frame-pointer"]
             try:
                 subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-                os.replace(so + ".tmp", so)
+                os.replace(tmp, so)
             except (subprocess.SubprocessError, OSError) as e:
                 _LIB_ERR = f"host_kv build failed: {e}"
                 raise RuntimeError(_LIB_ERR) from e

@@ -390,9 +390,19 @@ def load_dense(path: str, name: str, template):
         assert len(z.files) == len(leaves), (
             f"dense '{name}': {len(z.files)} leaves in file, template has {len(leaves)}"
         )
-        new = [
-            jnp.asarray(z[f"leaf{j}"], leaves[j].dtype) for j in range(len(leaves))
-        ]
+        new = []
+        for j in range(len(leaves)):
+            a = z[f"leaf{j}"]
+            if tuple(a.shape) != tuple(np.shape(leaves[j])):
+                # a silent shape swap means the restore-side model config
+                # disagrees with the training config — scores would be
+                # garbage with no error downstream
+                raise ValueError(
+                    f"dense '{name}' leaf {j}: checkpoint shape {a.shape} != "
+                    f"model config shape {np.shape(leaves[j])} — the model "
+                    "geometry at restore must match the one trained"
+                )
+            new.append(jnp.asarray(a, leaves[j].dtype))
     return jax.tree_util.tree_unflatten(treedef, new)
 
 

@@ -159,7 +159,8 @@ def _expand_paths(data: str):
     for p in data.split(","):
         if any(ch in p for ch in "*?["):
             hits = sorted(_glob.glob(p))
-            assert hits, f"--data pattern matched no files: {p}"
+            if not hits:  # not assert: must survive python -O
+                raise ValueError(f"--data pattern matched no files: {p}")
             out.extend(hits)
         else:
             out.append(p)
@@ -250,12 +251,41 @@ def cmd_train(args) -> int:
             loss_m = Meter()
             t0 = time.perf_counter()
             examples = 0
+            eval_iter = None
+            if run_cfg.eval_every:
+                # held-out stream, decorrelated seed (same as single-device)
+                eval_iter = make_train_stream(
+                    args.data, dataclasses.replace(run_cfg, seed=run_cfg.seed + 7919),
+                    model_cfg, jax.process_index(), jax.process_count(),
+                    bag_len=args.bag_len,
+                ).batches(run_cfg.steps)
             for i, batch in enumerate(stream.batches(run_cfg.steps)):
                 out = tr.train_step(batch)
                 loss_m.update(out["loss"])
                 examples += len(batch["label"])
                 if args.maintenance_every and (i + 1) % args.maintenance_every == 0:
                     tr.maintenance()
+                if eval_iter is not None and (i + 1) % run_cfg.eval_every == 0:
+                    try:
+                        eb = next(eval_iter)
+                    except StopIteration:
+                        eval_iter = None
+                    else:
+                        ev = tr.eval_step(eb)
+                        from meepoembedding_tpu.metrics import StreamingAUC
+
+                        logits = ev["logits"]
+                        if hasattr(logits, "addressable_shards"):
+                            logits = np.concatenate([
+                                np.asarray(s.data) for s in sorted(
+                                    logits.addressable_shards,
+                                    key=lambda s: s.index[0].start or 0,
+                                )
+                            ])
+                        ea = StreamingAUC()
+                        ea.update(np.asarray(logits), np.asarray(eb["label"]))
+                        logger.log(step=tr.step, eval_loss=ev["loss"],
+                                   eval_auc=ea.compute())
                 if (i + 1) % run_cfg.log_every == 0:
                     logger.log(
                         step=tr.step, loss=loss_m.mean, auc=tr.auc.compute(),
@@ -566,9 +596,23 @@ def cmd_eval(args) -> int:
 
     run_cfg, table_cfg, model_cfg = load_configs(args.config, args.set)
     model_cfg = dataclasses.replace(model_cfg, embedding_dim=table_cfg.dim)
-    stream = make_train_stream(
-        args.data, run_cfg, model_cfg, 0, 1, bag_len=getattr(args, "bag_len", 1)
-    )
+    if args.data == "synthetic":
+        stream = make_train_stream(
+            args.data, run_cfg, model_cfg, jax.process_index(),
+            jax.process_count(), bag_len=getattr(args, "bag_len", 1),
+        )
+        batches = stream.batches(run_cfg.steps)
+    else:
+        # offline eval makes exactly ONE pass over the holdout (loop=False);
+        # run.steps does not truncate it. Host-sharded like training.
+        from meepoembedding_tpu.data.criteo import CriteoStream
+
+        stream = CriteoStream(
+            _expand_paths(args.data), batch_size=run_cfg.batch_size,
+            loop=False, host_id=jax.process_index(),
+            num_hosts=jax.process_count(),
+        )
+        batches = stream.batches(None)
     if getattr(args, "distributed", False) and jax.device_count() > 1:
         from meepoembedding_tpu.parallel.trainer import ShardedTrainer
 
@@ -583,7 +627,7 @@ def cmd_eval(args) -> int:
     auc = StreamingAUC()
     losses = []
     n = 0
-    for batch in stream.batches(run_cfg.steps):
+    for batch in batches:
         out = tr.eval_step(batch)
         logits = out["logits"]
         if hasattr(logits, "addressable_shards"):

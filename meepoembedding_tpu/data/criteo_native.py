@@ -36,23 +36,28 @@ def _build_and_load() -> ctypes.CDLL:
             return _LIB
         if _LIB_ERR is not None:
             raise RuntimeError(_LIB_ERR)
-        root = _repo_root()
-        src = os.path.join(root, "csrc", "criteo_parse.cc")
-        outdir = os.path.join(root, "_native")
-        os.makedirs(outdir, exist_ok=True)
-        so = os.path.join(outdir, "libcriteoparse.so")
-        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-            cmd = [
-                "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                "-march=native", src, "-o", so + ".tmp",
-            ]
-            try:
+        try:
+            root = _repo_root()
+            src = os.path.join(root, "csrc", "criteo_parse.cc")
+            outdir = os.path.join(root, "_native")
+            os.makedirs(outdir, exist_ok=True)
+            so = os.path.join(outdir, "libcriteoparse.so")
+            if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+                # pid-unique tmp: concurrent first-use builds from multiple
+                # processes must not interleave writes to one output file
+                tmp = f"{so}.tmp.{os.getpid()}"
+                cmd = [
+                    "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                    "-march=native", src, "-o", tmp,
+                ]
                 subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-                os.replace(so + ".tmp", so)
-            except (subprocess.SubprocessError, OSError) as e:
-                _LIB_ERR = f"criteo_parse build failed: {e}"
-                raise RuntimeError(_LIB_ERR)
-        lib = ctypes.CDLL(so)
+                os.replace(tmp, so)  # atomic; last builder wins
+            lib = ctypes.CDLL(so)
+        except (subprocess.SubprocessError, OSError) as e:
+            # any failure (read-only checkout, missing source, bad compiler)
+            # must fall back to the Python parser, not crash the pipeline
+            _LIB_ERR = f"criteo_parse build failed: {e}"
+            raise RuntimeError(_LIB_ERR)
         lib.criteo_parse_batch.restype = ctypes.c_long
         lib.criteo_parse_batch.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_long,

@@ -29,22 +29,39 @@ class PrefetchStream:
     def batches(self, steps: Optional[int] = None) -> Iterator[dict]:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         err: list = []
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that aborts when the consumer abandoned the
+            # generator — otherwise the worker blocks forever on a full
+            # queue, leaking the thread and the upstream file handle
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    pass
+            return False
 
         def worker():
             try:
                 for b in self.inner.batches(steps):
-                    q.put(b)
+                    if not put(b):
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
-                q.put(self._END)
+                put(self._END)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            b = q.get()
-            if b is self._END:
-                if err:
-                    raise err[0]
-                return
-            yield b
+        try:
+            while True:
+                b = q.get()
+                if b is self._END:
+                    if err:
+                        raise err[0]
+                    return
+                yield b
+        finally:
+            stop.set()  # runs on GeneratorExit / consumer exception too

@@ -21,6 +21,14 @@ class CtrMlp:
 
     def apply(self, params, dense, emb):
         """dense [B, ND]; emb [B, NS, D] -> logits [B]."""
+        assert emb.shape[1] == self.cfg.num_sparse_features, (
+            f"emb carries {emb.shape[1]} sparse features, model configured "
+            f"for {self.cfg.num_sparse_features}"
+        )
+        assert dense.shape[1] == self.cfg.num_dense_features, (
+            f"dense carries {dense.shape[1]} features, model configured "
+            f"for {self.cfg.num_dense_features}"
+        )
         b = dense.shape[0]
         z = jnp.concatenate(
             [dense, emb.reshape(b, -1)], axis=1, dtype=self.cfg.dtype

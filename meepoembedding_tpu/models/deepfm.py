@@ -44,6 +44,14 @@ class DeepFM:
 
     def apply(self, params, dense, emb):
         """dense [B, ND]; emb [B, NS, D] -> logits [B]."""
+        assert emb.shape[1] == self.cfg.num_sparse_features, (
+            f"emb carries {emb.shape[1]} sparse features, model configured "
+            f"for {self.cfg.num_sparse_features}"
+        )
+        assert dense.shape[1] == self.cfg.num_dense_features, (
+            f"dense carries {dense.shape[1]} features, model configured "
+            f"for {self.cfg.num_dense_features}"
+        )
         b = dense.shape[0]
         s = jnp.sum(emb, axis=1)  # [B, D]
         fm2 = 0.5 * jnp.sum(s * s - jnp.sum(emb * emb, axis=1), axis=1)  # [B]

@@ -43,6 +43,14 @@ class DLRM:
 
     def apply(self, params, dense, emb):
         """dense [B, ND] f32; emb [B, NS, D] -> logits [B]."""
+        assert emb.shape[1] == self.cfg.num_sparse_features, (
+            f"emb carries {emb.shape[1]} sparse features, model configured "
+            f"for {self.cfg.num_sparse_features}"
+        )
+        assert dense.shape[1] == self.cfg.num_dense_features, (
+            f"dense carries {dense.shape[1]} features, model configured "
+            f"for {self.cfg.num_dense_features}"
+        )
         x = mlp_apply(params["bottom"], dense, final_activation=True)  # [B, D]
         feats = jnp.concatenate(
             [x[:, None, :], emb.astype(x.dtype)], axis=1

@@ -287,14 +287,7 @@ class ColShardedTrainer:
         self._auto_ucap = run_cfg.unique_cap is None
         self._bag_len = 1
         self._model_cfg = model_cfg
-        self._step_fn = make_col_step(
-            self.spec, self.model, mesh, run_cfg.dense_learning_rate,
-            self.unique_cap, run_cfg.a2a_factor, model_cfg.combiner,
-        )
-        self._eval_fn = make_col_eval(
-            self.spec, self.model, mesh, self.unique_cap, run_cfg.a2a_factor,
-            model_cfg.combiner,
-        )
+        self._build_step_fns()
 
     def _device_batch(self, batch):
         hi, lo = hashing.split_ids(batch["ids"])
@@ -306,6 +299,17 @@ class ColShardedTrainer:
             multihost.shard_batch(np.asarray(batch["label"], np.float32), self.mesh, ps),
         )
 
+    def _build_step_fns(self):
+        self._step_fn = make_col_step(
+            self.spec, self.model, self.mesh,
+            self.run_cfg.dense_learning_rate, self.unique_cap,
+            self.run_cfg.a2a_factor, self._model_cfg.combiner,
+        )
+        self._eval_fn = make_col_eval(
+            self.spec, self.model, self.mesh, self.unique_cap,
+            self.run_cfg.a2a_factor, self._model_cfg.combiner,
+        )
+
     def _maybe_grow_ucap(self, ids: np.ndarray):
         """Same auto-rescale as ShardedTrainer: multi-hot batches carry L ids
         per feature; scale the dedup cap to the observed bag length."""
@@ -315,15 +319,7 @@ class ColShardedTrainer:
             base = (self.run_cfg.batch_size // self.S
                     * self._model_cfg.num_sparse_features)
             self.unique_cap = base * L
-            self._step_fn = make_col_step(
-                self.spec, self.model, self.mesh,
-                self.run_cfg.dense_learning_rate, self.unique_cap,
-                self.run_cfg.a2a_factor, self._model_cfg.combiner,
-            )
-            self._eval_fn = make_col_eval(
-                self.spec, self.model, self.mesh, self.unique_cap,
-                self.run_cfg.a2a_factor, self._model_cfg.combiner,
-            )
+            self._build_step_fns()
 
     def _maybe_grow(self, incoming: int) -> None:
         """Distributed online growth, 2-D: same lockstep doubling as
@@ -360,14 +356,7 @@ class ColShardedTrainer:
         self.stacked = stacked_from_shards2(
             new_by_sc, self.mesh, alloc_col_stacked(self.spec_local, self.mesh)
         )
-        self._step_fn = make_col_step(
-            self.spec, self.model, self.mesh, self.run_cfg.dense_learning_rate,
-            self.unique_cap, self.run_cfg.a2a_factor, self._model_cfg.combiner,
-        )
-        self._eval_fn = make_col_eval(
-            self.spec, self.model, self.mesh, self.unique_cap,
-            self.run_cfg.a2a_factor, self._model_cfg.combiner,
-        )
+        self._build_step_fns()
 
     def train_step(self, batch: dict) -> dict:
         self._maybe_grow_ucap(np.asarray(batch["ids"]))

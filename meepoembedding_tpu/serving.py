@@ -39,8 +39,12 @@ class ScoringService:
             # read-only int8 serving table (serving_quant.py): ~3x smaller
             from meepoembedding_tpu.serving_quant import QuantizedTable
 
-            self.table = QuantizedTable.from_checkpoint(ckpt_path)
             self.manifest = checkpoint.read_manifest(ckpt_path)
+            assert self.manifest["dim"] == table_cfg.dim, (
+                f"dim mismatch: ckpt {self.manifest['dim']} vs "
+                f"table config {table_cfg.dim}"
+            )
+            self.table = QuantizedTable.from_checkpoint(ckpt_path)
         elif quantize == "none":
             self.table = DynamicEmbeddingTable(table_cfg)
             self.manifest = self.table.load(ckpt_path)

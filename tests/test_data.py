@@ -171,3 +171,27 @@ print("ASAN-OK")
         timeout=300, env=env, cwd="/root/repo",
     )
     assert out.returncode == 0 and "ASAN-OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_prefetch_abandoned_consumer_stops_worker(tmp_path):
+    """Abandoning the prefetch generator mid-stream must unblock and stop
+    the worker thread (no leaked thread holding the file handle)."""
+    import threading
+    import time
+
+    from meepoembedding_tpu.data import criteo
+    from meepoembedding_tpu.data.prefetch import PrefetchStream
+
+    p = tmp_path / "s.tsv"
+    criteo.write_synthetic_criteo(str(p), 2048, seed=6)
+    before = threading.active_count()
+    it = PrefetchStream(
+        criteo.CriteoStream([str(p)], batch_size=64, loop=True), depth=1
+    ).batches()
+    next(it)
+    it.close()  # abandon: GeneratorExit -> stop event
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= before, "prefetch worker leaked"
