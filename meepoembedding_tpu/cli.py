@@ -486,7 +486,19 @@ def cmd_serve(args) -> int:
 
         svc = ScoringService(args.ckpt, table_cfg, model_cfg,
                              quantize=getattr(args, "quantize", "none"))
-        srv = make_http_server(svc, args.http)
+        retrieval = None
+        if getattr(args, "retrieval_items", None):
+            # two-tower retrieval endpoint: corpus npz with item_ids [N, IF]
+            # (+ optional keys [N]) embedded through the item tower once
+            from meepoembedding_tpu.retrieval import RetrievalService
+
+            corpus = np.load(args.retrieval_items)
+            retrieval = RetrievalService(svc)
+            keys = corpus["keys"] if "keys" in corpus.files else None
+            retrieval.build_index(corpus["item_ids"], keys=keys)
+            print(json.dumps({"retrieval_index": retrieval.index.num_items}),
+                  flush=True)
+        srv = make_http_server(svc, args.http, retrieval=retrieval)
         print(json.dumps({"serving": f"http://127.0.0.1:{args.http}",
                           **svc.stats()}), flush=True)
         try:
@@ -758,6 +770,10 @@ def main(argv=None) -> int:
     sv.add_argument("--quantize", choices=["none", "int8"], default="none",
                     help="serve from an int8-quantized read-only table "
                          "(~3x smaller; --http mode)")
+    sv.add_argument("--retrieval-items", default=None, metavar="NPZ",
+                    help="two_tower only: .npz with item_ids [N, IF] int64 "
+                         "(+ optional keys [N]); enables POST /retrieve "
+                         "top-k over the embedded corpus (--http mode)")
     sv.add_argument("--http", type=int, default=0, metavar="PORT",
                     help="serve an HTTP scoring endpoint on 127.0.0.1:PORT "
                          "(POST /score, GET /healthz) instead of batch mode")

@@ -133,9 +133,12 @@ class TableConfig:
 class ModelConfig:
     """DLRM/CTR model geometry (SURVEY.md C16)."""
 
-    kind: str = "dlrm"  # "dlrm" | "ctr_mlp" | "dcn" | "deepfm"
+    kind: str = "dlrm"  # "dlrm" | "ctr_mlp" | "dcn" | "deepfm" | "two_tower"
     num_dense_features: int = 13
     num_sparse_features: int = 26
+    # two_tower only: the first num_query_features sparse columns feed the
+    # query tower, the rest the item tower (models/two_tower.py).
+    num_query_features: int = 1
     embedding_dim: int = 32
     # Bag combiner for multi-hot features (ids shaped [B, S, L], padded with
     # the invalid sentinel): "sum" | "mean" | "sqrtn". Ignored for one-hot

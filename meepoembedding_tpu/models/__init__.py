@@ -2,6 +2,7 @@ from meepoembedding_tpu.models.ctr_mlp import CtrMlp  # noqa: F401
 from meepoembedding_tpu.models.dcn import DCNv2  # noqa: F401
 from meepoembedding_tpu.models.deepfm import DeepFM  # noqa: F401
 from meepoembedding_tpu.models.dlrm import DLRM  # noqa: F401
+from meepoembedding_tpu.models.two_tower import TwoTower  # noqa: F401
 
 
 def build_model(cfg):
@@ -13,4 +14,6 @@ def build_model(cfg):
         return DCNv2(cfg)
     if cfg.kind == "deepfm":
         return DeepFM(cfg)
+    if cfg.kind == "two_tower":
+        return TwoTower(cfg)
     raise ValueError(f"unknown model kind: {cfg.kind}")

@@ -40,3 +40,22 @@ def bce_with_logits(logits, labels):
     z = logits.reshape(-1)
     y = labels.reshape(-1).astype(jnp.float32)
     return jnp.mean(jnp.maximum(z, 0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z))))
+
+
+def model_loss(model, params, dense, emb, label, item_key=None):
+    """Trainer-side objective dispatch, shared by the single-device and
+    sharded trainers: retrieval models define `loss_and_logits` (in-batch
+    softmax, models/two_tower.py); CTR rankers use pointwise BCE over
+    `apply()` logits. Returns (loss, per-example metric logits)."""
+    fn = getattr(model, "loss_and_logits", None)
+    if fn is not None:
+        return fn(params, dense, emb, label, item_key)
+    logits = model.apply(params, dense, emb)
+    return bce_with_logits(logits, label), logits
+
+
+def batch_item_key(model, hi, lo):
+    """[B] item identity key for accidental-hit masking, or None for models
+    without one (pure function of the id planes; safe to trace)."""
+    fn = getattr(model, "item_key", None)
+    return None if fn is None else fn(hi, lo)

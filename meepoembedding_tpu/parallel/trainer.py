@@ -25,7 +25,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from meepoembedding_tpu.config import LANES, ModelConfig, RunConfig, TableConfig
 from meepoembedding_tpu.metrics import JsonlLogger, Meter, StreamingAUC
 from meepoembedding_tpu.models import build_model
-from meepoembedding_tpu.models.common import bce_with_logits
+from meepoembedding_tpu.models.common import batch_item_key, model_loss
 from meepoembedding_tpu.ops import dedup, optim, pooling
 from meepoembedding_tpu.parallel import multihost
 from meepoembedding_tpu.parallel import sharded_table as st
@@ -109,14 +109,19 @@ def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap:
         # owner-side miss info, per shard (async cold-tier promotion feed)
         miss_out = tuple(a[None] for a in (ctx.miss_hi, ctx.miss_lo, ctx.miss))
 
+        ikey = batch_item_key(model, hi, lo)
+
         def loss_fn(params, emb_u):
             emb = pooling.pool_or_reshape(
                 emb_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
             )
-            logits = model.apply(params, dense, emb)
             # 1/S so that grads carry GLOBAL-batch-mean scale: sparse grads
             # are psum'd on owners by construction, dense grads psum'd below.
-            return bce_with_logits(logits, label) / S, logits
+            # Retrieval models (two_tower) draw in-batch negatives from the
+            # LOCAL sub-batch — the standard DP convention (negatives stay
+            # on-device; no gather of the global batch).
+            loss, logits = model_loss(model, params, dense, emb, label, ikey)
+            return loss / S, logits
 
         (loss, logits), (g_dense, g_u) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
@@ -154,8 +159,9 @@ def make_sharded_eval(spec: TableSpec, model, mesh, unique_cap: int, a2a_factor:
         emb = pooling.pool_or_reshape(
             emb_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
         )
-        logits = model.apply(params, dense, emb)
-        loss = lax.pmean(bce_with_logits(logits, label), SHARD_AXIS)
+        loss, logits = model_loss(model, params, dense, emb, label,
+                                  batch_item_key(model, hi, lo))
+        loss = lax.pmean(loss, SHARD_AXIS)
         return loss, logits
 
     fn = jax.shard_map(

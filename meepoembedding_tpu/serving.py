@@ -139,7 +139,11 @@ class ScoringService:
         }
 
 
-def make_http_server(service: ScoringService, port: int) -> ThreadingHTTPServer:
+def make_http_server(service: ScoringService, port: int,
+                     retrieval=None) -> ThreadingHTTPServer:
+    """HTTP endpoint. With `retrieval` (a RetrievalService with a built
+    index), POST /retrieve {"dense": [[..]], "ids": [[..]], "k": 10}
+    answers top-k item keys + scores through the two-tower index."""
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet: stdout is the service's JSON log
             pass
@@ -166,6 +170,28 @@ def make_http_server(service: ScoringService, port: int) -> ThreadingHTTPServer:
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
+            if self.path == "/retrieve":
+                if retrieval is None:
+                    self._reply(404, {"error": "retrieval not enabled"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n))
+                    dense = np.asarray(req["dense"], np.float32)
+                    ids = np.asarray(req["ids"], np.int64)
+                    k = int(req.get("k", 10))
+                    if dense.ndim != 2 or ids.ndim != 2 or len(dense) != len(ids):
+                        raise ValueError(
+                            f"dense {dense.shape} / ids {ids.shape} mismatch"
+                        )
+                    keys, scores = retrieval.retrieve(dense, ids, k=k)
+                    self._reply(200, {
+                        "keys": keys.tolist(),
+                        "scores": np.round(scores, 6).tolist(),
+                    })
+                except Exception as e:
+                    self._reply(400, {"error": str(e)})
+                return
             if self.path != "/score":
                 self._reply(404, {"error": "unknown path"})
                 return

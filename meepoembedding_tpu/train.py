@@ -24,7 +24,7 @@ import numpy as np
 from meepoembedding_tpu.config import ModelConfig, RunConfig, TableConfig
 from meepoembedding_tpu.metrics import JsonlLogger, Meter, StreamingAUC
 from meepoembedding_tpu.models import build_model
-from meepoembedding_tpu.models.common import bce_with_logits
+from meepoembedding_tpu.models.common import batch_item_key, model_loss
 from meepoembedding_tpu.ops import dedup, optim, pooling
 from meepoembedding_tpu.table import hashing, xla_ops
 from meepoembedding_tpu.table.layout import TableSpec, alloc_shard
@@ -71,6 +71,7 @@ class Trainer:
             # multi-hot bags ([B, S, L] ids, sentinel-padded) pool per feature
             # after the gather; one-hot [B, S] batches pass through unchanged
             bag_valid = hashing.is_valid(hi, lo) if hi.ndim == 3 else None
+            ikey = batch_item_key(model, hi, lo)
             if spec.dim <= 128:
                 shard, ctx = xla_ops.lookup_train(
                     spec, shard, uniq.hi, uniq.lo, uniq.valid, step
@@ -83,8 +84,7 @@ class Trainer:
                 def loss_fn(params, g128):
                     flat = xla_ops.rows_for_batch(spec, g128, ctx.sub, uniq.inverse)
                     emb = pooling.pool_or_reshape(flat, hi, bag_valid, spec.dim, combiner)
-                    logits = model.apply(params, dense, emb)
-                    return bce_with_logits(logits, label), logits
+                    return model_loss(model, params, dense, emb, label, ikey)
 
                 (loss, logits), (g_dense, g_win) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True
@@ -100,8 +100,7 @@ class Trainer:
                     emb = pooling.pool_or_reshape(
                         rows_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
                     )
-                    logits = model.apply(params, dense, emb)
-                    return bce_with_logits(logits, label), logits
+                    return model_loss(model, params, dense, emb, label, ikey)
 
                 (loss, logits), (g_dense, g_rows) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True
@@ -126,8 +125,8 @@ class Trainer:
             emb = pooling.pool_or_reshape(
                 rows[uniq.inverse], hi, bag_valid, spec.dim, combiner
             )
-            logits = model.apply(params, dense, emb)
-            return bce_with_logits(logits, label), logits
+            return model_loss(model, params, dense, emb, label,
+                              batch_item_key(model, hi, lo))
 
         return eval_fn
 
