@@ -557,16 +557,16 @@ def cmd_serve(args) -> int:
         if "params" in manifest.get("dense", []):
             params = checkpoint.load_dense(args.ckpt, "params", params)
 
-        from meepoembedding_tpu.ops import pooling
+        from meepoembedding_tpu.models.common import model_apply, model_inputs
         from meepoembedding_tpu.table import hashing as _hashing
 
         @jax.jit
         def score(shard, params, dense, rows, hi, lo):
             bag_valid = _hashing.is_valid(hi, lo) if hi.ndim == 3 else None
-            emb = pooling.pool_or_reshape(
-                rows, hi, bag_valid, table_cfg.dim, model_cfg.combiner
+            emb = model_inputs(
+                model, rows, hi, bag_valid, table_cfg.dim, model_cfg.combiner
             )
-            return jax.nn.sigmoid(model.apply(params, dense, emb))
+            return jax.nn.sigmoid(model_apply(model, params, dense, emb, bag_valid))
 
         for i, batch in enumerate(stream.batches(run_cfg.steps)):
             t0 = time.perf_counter()

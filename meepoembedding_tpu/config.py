@@ -133,7 +133,7 @@ class TableConfig:
 class ModelConfig:
     """DLRM/CTR model geometry (SURVEY.md C16)."""
 
-    kind: str = "dlrm"  # "dlrm" | "ctr_mlp" | "dcn" | "deepfm" | "two_tower"
+    kind: str = "dlrm"  # "dlrm" | "ctr_mlp" | "dcn" | "deepfm" | "two_tower" | "din"
     num_dense_features: int = 13
     num_sparse_features: int = 26
     # two_tower only: the first num_query_features sparse columns feed the
@@ -147,6 +147,7 @@ class ModelConfig:
     bottom_mlp: Tuple[int, ...] = (128, 64, 32)
     top_mlp: Tuple[int, ...] = (256, 128, 1)
     num_cross_layers: int = 3  # dcn only
+    attention_mlp: Tuple[int, ...] = (32,)  # din activation-unit hidden sizes
     dtype: str = "float32"
 
 

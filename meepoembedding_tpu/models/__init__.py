@@ -1,6 +1,7 @@
 from meepoembedding_tpu.models.ctr_mlp import CtrMlp  # noqa: F401
 from meepoembedding_tpu.models.dcn import DCNv2  # noqa: F401
 from meepoembedding_tpu.models.deepfm import DeepFM  # noqa: F401
+from meepoembedding_tpu.models.din import DIN  # noqa: F401
 from meepoembedding_tpu.models.dlrm import DLRM  # noqa: F401
 from meepoembedding_tpu.models.two_tower import TwoTower  # noqa: F401
 
@@ -16,4 +17,6 @@ def build_model(cfg):
         return DeepFM(cfg)
     if cfg.kind == "two_tower":
         return TwoTower(cfg)
+    if cfg.kind == "din":
+        return DIN(cfg)
     raise ValueError(f"unknown model kind: {cfg.kind}")

@@ -42,7 +42,27 @@ def bce_with_logits(logits, labels):
     return jnp.mean(jnp.maximum(z, 0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z))))
 
 
-def model_loss(model, params, dense, emb, label, item_key=None):
+def model_inputs(model, emb_flat, hi, bag_valid, dim: int, combiner: str):
+    """[n, dim] gathered rows (batch order) -> the model's embedding input.
+    Attention-pooling models (`pools_inside = True`, e.g. models/din.py)
+    receive the raw [B, S, L, dim] bag rows and pool with their own learned
+    weights; everything else gets the param-free combiner-pooled [B, S, dim]
+    (ops/pooling.py). One-hot [B, S] batches reshape either way."""
+    from meepoembedding_tpu.ops import pooling
+
+    if getattr(model, "pools_inside", False) and hi.ndim == 3:
+        return emb_flat.reshape(hi.shape + (dim,))
+    return pooling.pool_or_reshape(emb_flat, hi, bag_valid, dim, combiner)
+
+
+def model_apply(model, params, dense, emb, bag_valid=None):
+    """Forward dispatch: pools-inside models take the bag validity mask."""
+    if getattr(model, "pools_inside", False):
+        return model.apply(params, dense, emb, bag_valid)
+    return model.apply(params, dense, emb)
+
+
+def model_loss(model, params, dense, emb, bag_valid, label, item_key=None):
     """Trainer-side objective dispatch, shared by the single-device and
     sharded trainers: retrieval models define `loss_and_logits` (in-batch
     softmax, models/two_tower.py); CTR rankers use pointwise BCE over
@@ -50,7 +70,7 @@ def model_loss(model, params, dense, emb, label, item_key=None):
     fn = getattr(model, "loss_and_logits", None)
     if fn is not None:
         return fn(params, dense, emb, label, item_key)
-    logits = model.apply(params, dense, emb)
+    logits = model_apply(model, params, dense, emb, bag_valid)
     return bce_with_logits(logits, label), logits
 
 

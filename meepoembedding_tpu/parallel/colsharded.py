@@ -49,8 +49,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from meepoembedding_tpu.config import ModelConfig, RunConfig, TableConfig
 from meepoembedding_tpu.metrics import StreamingAUC
 from meepoembedding_tpu.models import build_model
-from meepoembedding_tpu.models.common import bce_with_logits
-from meepoembedding_tpu.ops import dedup, optim, pooling
+from meepoembedding_tpu.models.common import batch_item_key, model_inputs, model_loss
+from meepoembedding_tpu.ops import dedup, optim
 from meepoembedding_tpu.parallel import multihost
 from meepoembedding_tpu.parallel import sharded_table as st
 from meepoembedding_tpu.parallel.mesh import SHARD_AXIS
@@ -188,11 +188,12 @@ def make_col_step(spec: TableSpec, model, mesh: Mesh, dense_lr: float,
         )  # [U, dim], block c at lanes [c*dl, (c+1)*dl)
 
         def loss_fn(params, emb_full_u):
-            emb = pooling.pool_or_reshape(
-                emb_full_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
+            emb = model_inputs(
+                model, emb_full_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
             )
-            logits = model.apply(params, dense, emb)
-            return bce_with_logits(logits, label) / S, logits
+            loss, logits = model_loss(model, params, dense, emb, bag_valid, label,
+                                      batch_item_key(model, hi, lo))
+            return loss / S, logits
 
         (loss, logits), (g_dense, g_full) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
@@ -240,11 +241,12 @@ def make_col_eval(spec: TableSpec, model, mesh: Mesh, unique_cap: int,
         emb_full_u = lax.all_gather(
             emb_u.astype(jnp.float32), COL_AXIS, axis=1, tiled=True
         )
-        emb = pooling.pool_or_reshape(
-            emb_full_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
+        emb = model_inputs(
+            model, emb_full_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
         )
-        logits = model.apply(params, dense, emb)
-        loss = lax.pmean(bce_with_logits(logits, label), SHARD_AXIS)
+        loss, logits = model_loss(model, params, dense, emb, bag_valid, label,
+                                  batch_item_key(model, hi, lo))
+        loss = lax.pmean(loss, SHARD_AXIS)
         return loss, logits
 
     fn = jax.shard_map(

@@ -25,8 +25,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from meepoembedding_tpu.config import LANES, ModelConfig, RunConfig, TableConfig
 from meepoembedding_tpu.metrics import JsonlLogger, Meter, StreamingAUC
 from meepoembedding_tpu.models import build_model
-from meepoembedding_tpu.models.common import batch_item_key, model_loss
-from meepoembedding_tpu.ops import dedup, optim, pooling
+from meepoembedding_tpu.models.common import batch_item_key, model_inputs, model_loss
+from meepoembedding_tpu.ops import dedup, optim
 from meepoembedding_tpu.parallel import multihost
 from meepoembedding_tpu.parallel import sharded_table as st
 from meepoembedding_tpu.parallel.mesh import SHARD_AXIS, make_mesh
@@ -112,15 +112,15 @@ def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap:
         ikey = batch_item_key(model, hi, lo)
 
         def loss_fn(params, emb_u):
-            emb = pooling.pool_or_reshape(
-                emb_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
+            emb = model_inputs(
+                model, emb_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
             )
             # 1/S so that grads carry GLOBAL-batch-mean scale: sparse grads
             # are psum'd on owners by construction, dense grads psum'd below.
             # Retrieval models (two_tower) draw in-batch negatives from the
             # LOCAL sub-batch — the standard DP convention (negatives stay
             # on-device; no gather of the global batch).
-            loss, logits = model_loss(model, params, dense, emb, label, ikey)
+            loss, logits = model_loss(model, params, dense, emb, bag_valid, label, ikey)
             return loss / S, logits
 
         (loss, logits), (g_dense, g_u) = jax.value_and_grad(
@@ -156,10 +156,10 @@ def make_sharded_eval(spec: TableSpec, model, mesh, unique_cap: int, a2a_factor:
             spec, shard, uniq.hi, uniq.lo, uniq.valid, jnp.int32(0), SHARD_AXIS, cap,
             train=False,
         )
-        emb = pooling.pool_or_reshape(
-            emb_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
+        emb = model_inputs(
+            model, emb_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
         )
-        loss, logits = model_loss(model, params, dense, emb, label,
+        loss, logits = model_loss(model, params, dense, emb, bag_valid, label,
                                   batch_item_key(model, hi, lo))
         loss = lax.pmean(loss, SHARD_AXIS)
         return loss, logits

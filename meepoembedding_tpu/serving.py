@@ -64,7 +64,7 @@ class ScoringService:
         import jax
         import jax.numpy as jnp
 
-        from meepoembedding_tpu.ops import pooling
+        from meepoembedding_tpu.models.common import model_apply, model_inputs
         from meepoembedding_tpu.table import hashing
 
         fn = self._score_fns.get(ids_shape)
@@ -75,10 +75,12 @@ class ScoringService:
         @jax.jit
         def score(params, dense, rows, hi, lo):
             bag_valid = hashing.is_valid(hi, lo) if hi.ndim == 3 else None
-            emb = pooling.pool_or_reshape(
-                rows, hi, bag_valid, dim, model_cfg.combiner
+            emb = model_inputs(
+                self.model, rows, hi, bag_valid, dim, model_cfg.combiner
             )
-            return jax.nn.sigmoid(self.model.apply(params, dense, emb))
+            return jax.nn.sigmoid(
+                model_apply(self.model, params, dense, emb, bag_valid)
+            )
 
         self._score_fns[ids_shape] = score
         return score

@@ -24,8 +24,8 @@ import numpy as np
 from meepoembedding_tpu.config import ModelConfig, RunConfig, TableConfig
 from meepoembedding_tpu.metrics import JsonlLogger, Meter, StreamingAUC
 from meepoembedding_tpu.models import build_model
-from meepoembedding_tpu.models.common import batch_item_key, model_loss
-from meepoembedding_tpu.ops import dedup, optim, pooling
+from meepoembedding_tpu.models.common import batch_item_key, model_inputs, model_loss
+from meepoembedding_tpu.ops import dedup, optim
 from meepoembedding_tpu.table import hashing, xla_ops
 from meepoembedding_tpu.table.layout import TableSpec, alloc_shard
 
@@ -83,8 +83,8 @@ class Trainer:
 
                 def loss_fn(params, g128):
                     flat = xla_ops.rows_for_batch(spec, g128, ctx.sub, uniq.inverse)
-                    emb = pooling.pool_or_reshape(flat, hi, bag_valid, spec.dim, combiner)
-                    return model_loss(model, params, dense, emb, label, ikey)
+                    emb = model_inputs(model, flat, hi, bag_valid, spec.dim, combiner)
+                    return model_loss(model, params, dense, emb, bag_valid, label, ikey)
 
                 (loss, logits), (g_dense, g_win) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True
@@ -97,10 +97,10 @@ class Trainer:
                 rows_u = xla_ops.lookup_rows(spec, shard, slot)
 
                 def loss_fn(params, rows_u):
-                    emb = pooling.pool_or_reshape(
-                        rows_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
+                    emb = model_inputs(
+                        model, rows_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
                     )
-                    return model_loss(model, params, dense, emb, label, ikey)
+                    return model_loss(model, params, dense, emb, bag_valid, label, ikey)
 
                 (loss, logits), (g_dense, g_rows) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True
@@ -122,10 +122,10 @@ class Trainer:
             bag_valid = hashing.is_valid(hi, lo) if hi.ndim == 3 else None
             pr = xla_ops.probe(spec, shard, uniq.hi, uniq.lo, uniq.valid)
             rows = xla_ops.lookup_rows(spec, shard, jnp.where(pr.found, pr.slot, -1))
-            emb = pooling.pool_or_reshape(
-                rows[uniq.inverse], hi, bag_valid, spec.dim, combiner
+            emb = model_inputs(
+                model, rows[uniq.inverse], hi, bag_valid, spec.dim, combiner
             )
-            return model_loss(model, params, dense, emb, label,
+            return model_loss(model, params, dense, emb, bag_valid, label,
                               batch_item_key(model, hi, lo))
 
         return eval_fn
