@@ -625,6 +625,19 @@ def cmd_eval(args) -> int:
             num_hosts=jax.process_count(),
         )
         batches = stream.batches(None)
+    if getattr(args, "retrieval_items", None):
+        # two-tower retrieval eval: recall@k over an embedded item corpus
+        from meepoembedding_tpu.retrieval import RetrievalService
+        from meepoembedding_tpu.serving import ScoringService
+
+        svc = ScoringService(args.ckpt, table_cfg, model_cfg)
+        ret = RetrievalService(svc)
+        corpus = np.load(args.retrieval_items)
+        keys = corpus["keys"] if "keys" in corpus.files else None
+        ret.build_index(corpus["item_ids"], keys=keys)
+        ks = [int(k) for k in str(args.topk).split(",")]
+        print(json.dumps(ret.evaluate(batches, ks=ks)))
+        return 0
     if getattr(args, "distributed", False) and jax.device_count() > 1:
         from meepoembedding_tpu.parallel.trainer import ShardedTrainer
 
@@ -791,6 +804,12 @@ def main(argv=None) -> int:
                     help="synthetic multi-hot bag length L")
     ev.add_argument("--distributed", action="store_true",
                     help="restore row-sharded over all local devices")
+    ev.add_argument("--retrieval-items", default=None, metavar="NPZ",
+                    help="two_tower only: item corpus (item_ids [N, IF] "
+                         "int64 + optional keys [N]); reports recall@k "
+                         "instead of AUC")
+    ev.add_argument("--topk", default="1,10,100",
+                    help="comma-separated k values for recall@k")
     ev.set_defaults(fn=cmd_eval)
 
     ce = sub.add_parser("ckpt-export", help="export rows to npz/tsv")

@@ -162,7 +162,48 @@ class RetrievalService:
         self.index = ItemIndex(
             np.concatenate(out), keys=keys, dtype=self.index_dtype
         )
+        # item-feature tuple -> external key, for recall@k evaluation
+        self._row_key = {
+            tuple(r): k
+            for r, k in zip(item_ids.tolist(), self.index.keys.tolist())
+        }
         return self.index
+
+    def evaluate(self, batches, ks=(1, 10, 100)) -> dict:
+        """Recall@k over labeled (query, item) batches (the retrieval
+        counterpart of AUC eval): for every positive example, does the top-k
+        over the corpus contain its item? Items absent from the corpus count
+        as misses. Expects one-hot [B, S] id batches."""
+        assert self.index is not None, "call build_index() first"
+        ks = sorted(int(k) for k in ks)
+        qf = self.model.qf
+        hits = {k: 0 for k in ks}
+        total = 0
+        for batch in batches:
+            ids = np.asarray(batch["ids"], np.int64)
+            assert ids.ndim == 2, (
+                f"retrieval eval expects one-hot [B, S] ids, got {ids.shape}"
+            )
+            pos = np.asarray(batch["label"]).reshape(-1) > 0
+            if not pos.any():
+                continue
+            truth = np.array(
+                [self._row_key.get(tuple(r), -(1 << 62))
+                 for r in ids[pos, qf:].tolist()],
+                dtype=np.int64,
+            )
+            got, _ = self.retrieve(
+                np.asarray(batch["dense"], np.float32)[pos], ids[pos, :qf],
+                k=ks[-1],
+            )
+            for k in ks:
+                hits[k] += int((got[:, :k] == truth[:, None]).any(1).sum())
+            total += int(pos.sum())
+        return {
+            **{f"recall@{k}": (hits[k] / total if total else None) for k in ks},
+            "positives": total,
+            "corpus": self.index.num_items,
+        }
 
     def retrieve(self, dense: np.ndarray, query_ids: np.ndarray, k: int = 10):
         """dense [Q, ND] + query-side ids [Q, QF] -> (keys [Q, k], scores)."""

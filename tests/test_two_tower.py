@@ -189,6 +189,34 @@ def test_two_tower_learns_and_retrieves(tmp_path):
         srv.server_close()
 
 
+def test_retrieval_recall_at_k(tmp_path):
+    """recall@k eval: trained pairs must be recalled at k=1 nearly always,
+    and at k=corpus trivially; items missing from the corpus count as
+    misses (not crashes)."""
+    tr, tc, mc, _, _ = _train_pairs()
+    from meepoembedding_tpu.serving import ScoringService
+
+    tr.save_checkpoint(str(tmp_path / "ck"))
+    svc = ScoringService(str(tmp_path / "ck"), tc, mc)
+    ret = RetrievalService(svc)
+    item_ids = (ITEM_NS | np.arange(32, dtype=np.int64))[:, None]
+    ret.build_index(item_ids, keys=np.arange(32, dtype=np.int64))
+    rng = np.random.default_rng(11)
+    batches = [_pair_batch(rng, 32, 64)[0] for _ in range(4)]
+    out = ret.evaluate(batches, ks=(1, 32))
+    assert out["positives"] == 256 and out["corpus"] == 32
+    assert out["recall@1"] >= 0.9
+    assert out["recall@32"] == 1.0
+    # corpus missing half the items: recall can't exceed the coverage
+    ret2 = RetrievalService(svc)
+    ret2.build_index(item_ids[:16], keys=np.arange(16, dtype=np.int64))
+    out2 = ret2.evaluate(batches, ks=(32,))
+    covered = sum(
+        (np.asarray(b["ids"])[:, 1] < (ITEM_NS | 16)).sum() for b in batches
+    )
+    assert out2["recall@32"] == covered / out["positives"]
+
+
 def test_sharded_two_tower_learns():
     """8-virtual-device mesh: row-sharded table + DP towers + local in-batch
     negatives still learn the planted pairing."""
