@@ -184,6 +184,61 @@ def save(
     )
 
 
+class AsyncCheckpointer:
+    """Non-blocking checkpointing (SURVEY.md §5 "Checkpoint/resume"; the
+    orbax-style async-save pattern). The caller's thread pays only the
+    device->host snapshot (`export_shard_arrays`, already minimized by the
+    on-device compaction); file writes and the manifest commit run on a
+    background thread. At most one save is in flight: a new `save()` joins
+    the previous one first, and `wait()` re-raises any background failure.
+
+    Single-process only: the multi-process protocol's barriers must run on
+    the main thread in step order (collectives may not interleave across
+    threads), so `ShardedTrainer` keeps synchronous saves under
+    `jax.process_count() > 1`."""
+
+    def __init__(self):
+        import threading
+
+        self._threading = threading
+        self._thread = None
+        self._err = None
+        self.saves = 0
+
+    def save(self, path, spec, shards, step, extras=None, dense=None) -> None:
+        self.wait()
+        arrs_by_id = {
+            i: export_shard_arrays(spec, sh) for i, sh in enumerate(shards)
+        }
+        dense_np = None
+        if dense is not None:
+            dense_np = jax.tree_util.tree_map(np.asarray, dense)
+
+        def work():
+            try:
+                save_sharded(
+                    path, spec, arrs_by_id, len(arrs_by_id), step,
+                    extras=extras, dense=dense_np,
+                )
+            except BaseException as e:  # surfaced by the next wait()/save()
+                self._err = e
+
+        self._thread = self._threading.Thread(
+            target=work, name="meepo-async-ckpt", daemon=True
+        )
+        self._thread.start()
+        self.saves += 1
+
+    def wait(self) -> None:
+        """Join the in-flight save (if any); re-raise its failure."""
+        t, self._thread = self._thread, None
+        if t is not None:
+            t.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+
 def save_sharded(
     path: str,
     spec: TableSpec,
@@ -205,7 +260,9 @@ def save_sharded(
     gdir = os.path.join(path, gen)
     os.makedirs(gdir, exist_ok=True)
     for i, shard in shards_by_id.items():
-        arrs = export_shard_arrays(spec, shard)
+        # a dict means the caller already exported (AsyncCheckpointer's
+        # snapshot); TableShards export here
+        arrs = shard if isinstance(shard, dict) else export_shard_arrays(spec, shard)
         _atomic_write(
             os.path.join(gdir, f"shard-{i:05d}.npz"),
             lambda f, arrs=arrs: np.savez(f, **arrs),

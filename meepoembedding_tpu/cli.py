@@ -324,6 +324,7 @@ def cmd_train(args) -> int:
                     run_cfg, table_cfg, model_cfg, stream,
                     maintenance_every=args.maintenance_every, spill=spill,
                     eval_stream=eval_stream,
+                    ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every,
                 )
             if args.ckpt_dir:
                 tr.save_checkpoint(args.ckpt_dir)

@@ -160,13 +160,33 @@ class Trainer:
         return {"loss": float(loss), "logits": logits}
 
     # --- checkpoint/restore (SURVEY.md C19) ----------------------------------
-    def save_checkpoint(self, path: str, extras=None) -> dict:
+    def save_checkpoint(self, path: str, extras=None, async_: bool = False) -> dict:
+        """async_=True pays only the device->host snapshot here; file writes
+        commit on a background thread (checkpoint.AsyncCheckpointer). Any
+        in-flight async save is always joined first, so async and sync saves
+        to the same directory serialize safely."""
         from meepoembedding_tpu import checkpoint
 
+        dense = {"params": self.params, "opt_state": self.opt_state}
+        if async_:
+            if getattr(self, "_async_ckpt", None) is None:
+                self._async_ckpt = checkpoint.AsyncCheckpointer()
+            self._async_ckpt.save(
+                path, self.spec, [self.shard], self.step,
+                extras=extras, dense=dense,
+            )
+            return {"async": True, "step": self.step}
+        self.finish_saves()
         return checkpoint.save(
             path, self.spec, [self.shard], self.step, extras=extras,
-            dense={"params": self.params, "opt_state": self.opt_state},
+            dense=dense,
         )
+
+    def finish_saves(self) -> None:
+        """Join any in-flight async checkpoint; re-raises its failure."""
+        ac = getattr(self, "_async_ckpt", None)
+        if ac is not None:
+            ac.wait()
 
     def load_checkpoint(self, path: str) -> dict:
         from meepoembedding_tpu import checkpoint
@@ -204,6 +224,8 @@ def train(
     maintenance_every: int = 50,
     spill=None,
     eval_stream=None,
+    ckpt_dir: Optional[str] = None,
+    ckpt_every: int = 0,
 ) -> Trainer:
     """Run `run_cfg.steps` training steps from a batch iterator. With
     run_cfg.eval_every > 0 and an `eval_stream`, a held-out batch is scored
@@ -226,6 +248,10 @@ def train(
         examples += len(batch["label"])
         if maintenance_every and (i + 1) % maintenance_every == 0:
             tr.maintenance()
+        if ckpt_dir and ckpt_every and (i + 1) % ckpt_every == 0:
+            # periodic saves ride the background thread; the step loop pays
+            # only the device->host snapshot
+            tr.save_checkpoint(ckpt_dir, async_=True)
         if eval_iter is not None and (i + 1) % run_cfg.eval_every == 0:
             try:
                 eb = next(eval_iter)
@@ -247,6 +273,7 @@ def train(
                 examples_per_sec=examples / dt,
                 **{f"ctr_{k}": v for k, v in _counters(tr).items()},
             )
+    tr.finish_saves()
     return tr
 
 

@@ -240,3 +240,82 @@ def test_resave_same_step_keeps_checkpoint_loadable(tmp_path):
     t2 = DynamicEmbeddingTable(t.cfg)
     t2.load(p)
     assert set(_table_state(t2)) == set(_table_state(t))
+
+
+# --- async checkpointing (checkpoint.AsyncCheckpointer) ------------------------
+
+
+def _async_trainer(steps=5):
+    from meepoembedding_tpu.train import Trainer
+
+    rc = RunConfig(batch_size=128, steps=steps, dense_learning_rate=1e-3)
+    tc = TableConfig(
+        dim=16, capacity=1 << 12,
+        optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.05),
+    )
+    mc = ModelConfig(
+        kind="ctr_mlp", num_dense_features=4, num_sparse_features=3,
+        embedding_dim=16, top_mlp=(16, 1),
+    )
+    tr = Trainer(rc, tc, mc)
+    rng = np.random.default_rng(0)
+    for _ in range(steps):
+        tr.train_step({
+            "ids": rng.integers(0, 5000, size=(128, 3)).astype(np.int64),
+            "dense": rng.normal(size=(128, 4)).astype(np.float32),
+            "label": rng.integers(0, 2, size=128).astype(np.float32),
+        })
+    return tr
+
+
+def test_async_save_matches_sync(tmp_path):
+    """An async save (snapshot on the caller thread, writes in background)
+    must produce a checkpoint bit-identical in content to a sync save of the
+    same state."""
+    tr = _async_trainer()
+    pa, ps = str(tmp_path / "a"), str(tmp_path / "s")
+    tr.save_checkpoint(pa, async_=True)
+    tr.save_checkpoint(ps)  # sync; joins the async save first
+    tr.finish_saves()
+    rows_a = {tuple(d["ids"]): d["values"] for d in checkpoint.iter_rows(pa)}
+    rows_s = {tuple(d["ids"]): d["values"] for d in checkpoint.iter_rows(ps)}
+    assert rows_a.keys() == rows_s.keys()
+    for k in rows_a:
+        np.testing.assert_array_equal(rows_a[k], rows_s[k])
+    ma, ms = checkpoint.read_manifest(pa), checkpoint.read_manifest(ps)
+    assert ma["counts"] == ms["counts"] and ma["step"] == ms["step"]
+
+
+def test_async_save_snapshot_isolated_from_later_steps(tmp_path):
+    """The snapshot is taken at save() time: training steps that run while
+    the background write is in flight must not leak into the checkpoint."""
+    tr = _async_trainer()
+    p = str(tmp_path / "snap")
+    step_at_save = tr.step
+    tr.save_checkpoint(p, async_=True)
+    rng = np.random.default_rng(99)
+    for _ in range(3):  # mutate state while the write may still be running
+        tr.train_step({
+            "ids": rng.integers(6000, 9000, size=(128, 3)).astype(np.int64),
+            "dense": rng.normal(size=(128, 4)).astype(np.float32),
+            "label": rng.integers(0, 2, size=128).astype(np.float32),
+        })
+    tr.finish_saves()
+    m = checkpoint.read_manifest(p)
+    assert m["step"] == step_at_save
+
+
+def test_async_save_failure_surfaces_on_wait(tmp_path):
+    """A background write failure must raise on the next wait()/save(), not
+    vanish silently."""
+    tr = _async_trainer(steps=2)
+    blocker = tmp_path / "blocked"
+    blocker.write_text("not a directory")
+    tr.save_checkpoint(str(blocker), async_=True)
+    with pytest.raises(Exception):
+        tr.finish_saves()
+    # the checkpointer recovers: a later save to a good path works
+    good = str(tmp_path / "good")
+    tr.save_checkpoint(good, async_=True)
+    tr.finish_saves()
+    assert checkpoint.read_manifest(good)["step"] == tr.step
