@@ -139,6 +139,9 @@ class ModelConfig:
     # two_tower only: the first num_query_features sparse columns feed the
     # query tower, the rest the item tower (models/two_tower.py).
     num_query_features: int = 1
+    # two_tower only: sampling-bias-corrected in-batch softmax — subtract a
+    # streaming log q(item) estimate from negative logits (ops/itemfreq.py).
+    logq_correction: bool = False
     embedding_dim: int = 32
     # Bag combiner for multi-hot features (ids shaped [B, S, L], padded with
     # the invalid sentinel): "sum" | "mean" | "sqrtn". Ignored for one-hot

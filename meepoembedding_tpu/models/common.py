@@ -62,14 +62,15 @@ def model_apply(model, params, dense, emb, bag_valid=None):
     return model.apply(params, dense, emb)
 
 
-def model_loss(model, params, dense, emb, bag_valid, label, item_key=None):
+def model_loss(model, params, dense, emb, bag_valid, label, item_key=None,
+               logq=None):
     """Trainer-side objective dispatch, shared by the single-device and
     sharded trainers: retrieval models define `loss_and_logits` (in-batch
     softmax, models/two_tower.py); CTR rankers use pointwise BCE over
     `apply()` logits. Returns (loss, per-example metric logits)."""
     fn = getattr(model, "loss_and_logits", None)
     if fn is not None:
-        return fn(params, dense, emb, label, item_key)
+        return fn(params, dense, emb, label, item_key, logq=logq)
     logits = model_apply(model, params, dense, emb, bag_valid)
     return bce_with_logits(logits, label), logits
 

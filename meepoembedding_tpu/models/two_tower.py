@@ -113,7 +113,8 @@ class TwoTower:
             h = jax.lax.reduce(h, jnp.uint32(0), jax.lax.bitwise_xor, (1,))
         return h.astype(jnp.int32)
 
-    def loss_and_logits(self, params, dense, emb, label, item_key=None):
+    def loss_and_logits(self, params, dense, emb, label, item_key=None,
+                        logq=None):
         """In-batch sampled-softmax retrieval loss.
 
         Every batch row is a (query, item) pair; rows with label > 0 are
@@ -122,6 +123,12 @@ class TwoTower:
         serve as negatives — the CTR-stream-compatible convention). Returns
         per-example margin logits `tau*s_ii - max_j tau*s_ij` so the trainers'
         AUC/metric plumbing stays meaningful: margin > 0 == hit@1.
+
+        logq ([B] f32, optional): log probability of each row's item
+        appearing in a batch; subtracted from that item's column of logits
+        before the softmax (sampling-bias-corrected softmax, Yi et al. 2019
+        — ops/itemfreq.py) so popular items are not over-penalized as
+        in-batch negatives. Training-only; serving scores stay raw.
         """
         eq, ei = self._split(emb)
         q = self.embed_query(params, dense, eq)  # [B, E]
@@ -133,7 +140,8 @@ class TwoTower:
         if item_key is not None:
             dup = (item_key[None, :] == item_key[:, None]) & ~eye
             scores = jnp.where(dup, -1e9, scores)
-        logp = jax.nn.log_softmax(scores, axis=1)
+        ce_scores = scores if logq is None else scores - logq[None, :]
+        logp = jax.nn.log_softmax(ce_scores, axis=1)
         w = label.reshape(-1).astype(jnp.float32)
         loss = -jnp.sum(w * jnp.diagonal(logp)) / jnp.maximum(jnp.sum(w), 1.0)
         neg = jnp.where(eye, -jnp.inf, scores)

@@ -97,7 +97,7 @@ def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap:
     S = mesh.shape[SHARD_AXIS]
     cap = st.a2a_capacity(unique_cap, S, a2a_factor)
 
-    def step_impl(stacked, params, opt_state, dense, hi, lo, label, step):
+    def step_impl(stacked, params, opt_state, dense, hi, lo, label, step, logq):
         shard = st.squeeze_shard(stacked)
         uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), unique_cap)
         bag_valid = hashing.is_valid(hi, lo) if hi.ndim == 3 else None
@@ -120,7 +120,10 @@ def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap:
             # Retrieval models (two_tower) draw in-batch negatives from the
             # LOCAL sub-batch — the standard DP convention (negatives stay
             # on-device; no gather of the global batch).
-            loss, logits = model_loss(model, params, dense, emb, bag_valid, label, ikey)
+            # logq rides the batch sharding: correction against LOCAL
+            # in-batch negatives, matching the local-negatives convention
+            loss, logits = model_loss(model, params, dense, emb, bag_valid, label,
+                                      ikey, logq=logq)
             return loss / S, logits
 
         (loss, logits), (g_dense, g_u) = jax.value_and_grad(
@@ -136,7 +139,7 @@ def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap:
     fn = jax.shard_map(
         step_impl,
         mesh=mesh,
-        in_specs=(shard_specs, P(), P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P()),
+        in_specs=(shard_specs, P(), P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(), P(SHARD_AXIS)),
         out_specs=(shard_specs, P(), P(), P(), P(SHARD_AXIS), P(), P(SHARD_AXIS)),
         check_vma=False,
     )
@@ -257,6 +260,14 @@ class ShardedTrainer:
                 f"spill backend width {spill.width} != codec width {self._codec.width}"
             )
             self._promoter = PromotionEngine(self._codec, spill)
+        self._freq_est = None
+        if model_cfg.logq_correction:
+            from meepoembedding_tpu.ops.itemfreq import ItemFrequencyEstimator
+
+            assert hasattr(self.model, "loss_and_logits"), (
+                "model.logq_correction needs a retrieval model (two_tower)"
+            )
+            self._freq_est = ItemFrequencyEstimator()
         self.auc = StreamingAUC()
         per_dev_ids = run_cfg.batch_size // self.S * model_cfg.num_sparse_features
         self.unique_cap = run_cfg.unique_cap or per_dev_ids
@@ -306,12 +317,21 @@ class ShardedTrainer:
         self._maybe_grow_ucap(ids)
         self._maybe_grow(ids.size * max(1, jax.process_count()))
         dense, hi, lo, label = self._device_batch(batch)
+        if self._freq_est is not None:
+            from meepoembedding_tpu.ops.itemfreq import item_keys_np
+
+            lq = self._freq_est.update_and_logq(
+                item_keys_np(ids, self.model.qf)
+            )
+        else:
+            lq = np.zeros(len(ids), np.float32)  # subtracting 0 == no correction
+        logq = multihost.shard_batch(lq, self.mesh, P(SHARD_AXIS))
         (
             self.stacked, self.params, self.opt_state, loss, logits, drops,
             miss_out,
         ) = self._step_fn(
             self.stacked, self.params, self.opt_state, dense, hi, lo, label,
-            jnp.int32(self.step),
+            jnp.int32(self.step), logq,
         )
         if self._promoter is not None:
             # feed THIS process's shards' misses; the worker thread fetches

@@ -53,6 +53,14 @@ class Trainer:
         self.step = 0
         self.spill = spill
         self.auc = StreamingAUC()
+        self._freq_est = None
+        if model_cfg.logq_correction:
+            from meepoembedding_tpu.ops.itemfreq import ItemFrequencyEstimator
+
+            assert hasattr(self.model, "loss_and_logits"), (
+                "model.logq_correction needs a retrieval model (two_tower)"
+            )
+            self._freq_est = ItemFrequencyEstimator()
         self._step_fn = self._build_step()
         self._eval_fn = self._build_eval()
 
@@ -65,7 +73,7 @@ class Trainer:
         combiner = self.model_cfg.combiner
 
         @partial(jax.jit, donate_argnums=(0,))
-        def step_fn(shard, params, opt_state, dense, hi, lo, label, step):
+        def step_fn(shard, params, opt_state, dense, hi, lo, label, step, logq):
             cap = self._unique_cap(hi.shape)
             uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), cap)
             # multi-hot bags ([B, S, L] ids, sentinel-padded) pool per feature
@@ -84,7 +92,8 @@ class Trainer:
                 def loss_fn(params, g128):
                     flat = xla_ops.rows_for_batch(spec, g128, ctx.sub, uniq.inverse)
                     emb = model_inputs(model, flat, hi, bag_valid, spec.dim, combiner)
-                    return model_loss(model, params, dense, emb, bag_valid, label, ikey)
+                    return model_loss(model, params, dense, emb, bag_valid, label,
+                                      ikey, logq=logq)
 
                 (loss, logits), (g_dense, g_win) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True
@@ -100,7 +109,8 @@ class Trainer:
                     emb = model_inputs(
                         model, rows_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
                     )
-                    return model_loss(model, params, dense, emb, bag_valid, label, ikey)
+                    return model_loss(model, params, dense, emb, bag_valid, label,
+                                      ikey, logq=logq)
 
                 (loss, logits), (g_dense, g_rows) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True
@@ -133,6 +143,13 @@ class Trainer:
     # --- public API ----------------------------------------------------------
     def train_step(self, batch: dict) -> dict:
         hi, lo = hashing.split_ids(batch["ids"])
+        logq = None
+        if self._freq_est is not None:
+            from meepoembedding_tpu.ops.itemfreq import item_keys_np
+
+            logq = jnp.asarray(self._freq_est.update_and_logq(
+                item_keys_np(np.asarray(batch["ids"]), self.model.qf)
+            ))
         self.shard, self.params, self.opt_state, loss, logits = self._step_fn(
             self.shard,
             self.params,
@@ -142,6 +159,7 @@ class Trainer:
             jnp.asarray(lo),
             jnp.asarray(batch["label"]),
             jnp.int32(self.step),
+            logq,
         )
         self.step += 1
         self.auc.update(logits, jnp.asarray(batch["label"]))
