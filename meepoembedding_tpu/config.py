@@ -165,6 +165,10 @@ class RunConfig:
     log_every: int = 20
     eval_every: int = 0
     dense_learning_rate: float = 1e-3
+    # Dense-tower LR schedule over run.steps (ops/optim.py schedule_lr):
+    # "constant" | "linear" | "cosine", with an optional linear warmup.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
     mesh_shape: Tuple[int, ...] = ()  # () -> all devices on one 'shard' axis
     profile_dir: Optional[str] = None
     # Static per-(src,dst) all-to-all capacity = a2a_factor * unique_cap / S.

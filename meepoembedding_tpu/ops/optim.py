@@ -284,3 +284,28 @@ def dense_adam_update(params, grads, state, lr: float, b1=0.9, b2=0.999, eps=1e-
         v,
     )
     return new, (m, v, t)
+
+
+def schedule_lr(kind: str, base_lr: float, step, total_steps: int,
+                warmup_steps: int = 0):
+    """Dense-tower learning-rate schedule, evaluated INSIDE the jitted step
+    from the traced step counter (no per-step recompiles; SURVEY.md C18).
+
+    kind: "constant" | "linear" (decay to 0 over total_steps) |
+    "cosine" (half-cosine to 0) | any with warmup_steps > 0 ramping
+    linearly from 0 first. The sparse optimizers keep their own static rate
+    (adaptive family; per-row accumulators already anneal it)."""
+    if kind not in ("constant", "linear", "cosine"):
+        raise ValueError(f"unknown lr schedule {kind!r}")
+    t = jnp.asarray(step, jnp.float32)
+    scale = jnp.float32(1.0)
+    if warmup_steps > 0:
+        scale = jnp.minimum(t / float(warmup_steps), 1.0)
+        t = jnp.maximum(t - float(warmup_steps), 0.0)
+    horizon = max(total_steps - warmup_steps, 1)
+    frac = jnp.clip(t / float(horizon), 0.0, 1.0)
+    if kind == "linear":
+        scale = scale * (1.0 - frac)
+    elif kind == "cosine":
+        scale = scale * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+    return jnp.float32(base_lr) * scale

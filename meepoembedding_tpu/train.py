@@ -69,7 +69,7 @@ class Trainer:
 
     def _build_step(self):
         spec, model = self.spec, self.model
-        lr = self.run_cfg.dense_learning_rate
+        rc = self.run_cfg
         combiner = self.model_cfg.combiner
 
         @partial(jax.jit, donate_argnums=(0,))
@@ -116,6 +116,8 @@ class Trainer:
                     loss_fn, argnums=(0, 1), has_aux=True
                 )(params, rows_u)
                 shard = optim.apply_sparse_grads(spec, shard, slot, g_rows)
+            lr = optim.schedule_lr(rc.lr_schedule, rc.dense_learning_rate,
+                                   step, rc.steps, rc.warmup_steps)
             params, opt_state = optim.dense_adam_update(params, g_dense, opt_state, lr)
             return shard, params, opt_state, loss, logits
 
