@@ -1,6 +1,6 @@
 """CLI entry points (SURVEY.md C20/C21, L7): `train`, `eval`, `serve`,
-`bench-lookup`, `bench-update`, `ckpt-inspect`, `ckpt-export` behind one
-argparse front end.
+`bench-lookup`, `bench-update`, `ckpt-inspect`, `ckpt-export`, `ckpt-import`
+behind one argparse front end.
 
 Config layering (C21): frozen-dataclass defaults <- YAML file (--config)
 <- dotted CLI overrides (`--set table.capacity=1048576 run.steps=200`).
@@ -716,6 +716,78 @@ def cmd_ckpt_export(args) -> int:
     return 0
 
 
+def cmd_ckpt_import(args) -> int:
+    """Warm-start a table from a portable row dump — the reverse of
+    `ckpt-export` and the migration path INTO the framework (e.g. seeding a
+    dynamic table from a static fixed-vocab embedding matrix or another
+    system's export). Reads ids+values from .npz (ids [N] int64,
+    values [N, dim]) or .tsv (id \\t v0,v1,...), bulk-assigns them into a
+    fresh table, and writes a normal elastic checkpoint that
+    `train --restore` / `serve` / `eval` all accept.
+
+    Optimizer state starts fresh: a portable dump is values-only by contract
+    (freq/accum from `ckpt-export --full` describe THIS framework's policy
+    state; foreign dumps won't have them), so imported rows behave like
+    newly admitted ids with pre-trained values.
+    """
+    from meepoembedding_tpu.table import hashing
+    from meepoembedding_tpu.table.runtime import DynamicEmbeddingTable
+
+    src = args.src
+    fmt = args.format or ("npz" if src.endswith(".npz") else "tsv")
+    if fmt == "npz":
+        with np.load(src) as z:
+            ids = np.asarray(z["ids"], np.int64)
+            values = np.asarray(z["values"], np.float32)
+    else:
+        id_list, row_list = [], []
+        with open(src) as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                key, _, vals = line.partition("\t")
+                id_list.append(int(key))
+                row_list.append([float(x) for x in vals.split(",")])
+        ids = np.asarray(id_list, np.int64)
+        values = np.asarray(row_list, np.float32) if row_list else np.zeros((0, 0))
+    n, dim = (values.shape if values.ndim == 2 else (0, 0))
+    assert len(ids) == n, f"ids [{len(ids)}] vs values [{n}] row mismatch"
+
+    _, table_cfg, _ = load_configs(args.config, args.set)
+    if n and table_cfg.dim != dim:  # the file is ground truth for dim
+        table_cfg = dataclasses.replace(table_cfg, dim=dim)
+    if args.capacity == "auto":
+        cap = 1 << 10
+        while n > 0.8 * cap:
+            cap *= 2
+        table_cfg = dataclasses.replace(table_cfg, capacity=max(cap, table_cfg.capacity))
+    else:
+        table_cfg = dataclasses.replace(table_cfg, capacity=int(float(args.capacity)))
+
+    table = DynamicEmbeddingTable(table_cfg)
+    chunk = 1 << 14
+    imported = 0
+    for o in range(0, n, chunk):
+        sl = slice(o, min(n, o + chunk))
+        cnt = sl.stop - sl.start
+        pad = chunk - cnt
+        ids_c = ids[sl]
+        rows_c = values[sl]
+        if pad:  # fixed chunk geometry -> one compiled assign program
+            ids_c = np.concatenate([ids_c, np.full(pad, hashing.EMPTY_ID, np.int64)])
+            rows_c = np.concatenate([rows_c, np.zeros((pad, dim), np.float32)])
+        ok = table.assign(ids_c, rows_c)
+        imported += int(np.asarray(ok)[:cnt].sum())
+    manifest = table.save(args.out)
+    print(json.dumps({
+        "rows_in_file": int(n), "rows_imported": imported,
+        "capacity": table_cfg.capacity, "dim": table_cfg.dim,
+        "out": args.out, "step": manifest.get("step", 0),
+    }))
+    return 0 if imported == n else 4
+
+
 def cmd_ckpt_inspect(args) -> int:
     from meepoembedding_tpu import checkpoint
 
@@ -820,6 +892,18 @@ def main(argv=None) -> int:
     ce.add_argument("--full", action="store_true",
                     help="include freq/accum state (npz only)")
     ce.set_defaults(fn=cmd_ckpt_export)
+
+    ci = sub.add_parser("ckpt-import",
+                        help="warm-start a checkpoint from an npz/tsv row dump")
+    ci.add_argument("src", help="input file (.npz: ids+values; or tsv)")
+    ci.add_argument("--out", required=True, help="checkpoint directory to write")
+    ci.add_argument("--format", choices=["npz", "tsv"], default=None,
+                    help="default: by file extension")
+    ci.add_argument("--config", help="YAML config file (table.* honored)")
+    ci.add_argument("--set", nargs="*", default=[], metavar="sec.key=val")
+    ci.add_argument("--capacity", default="auto",
+                    help="'auto' (pow2, load<=0.8) or an explicit row count")
+    ci.set_defaults(fn=cmd_ckpt_import)
 
     c = sub.add_parser("ckpt-inspect", help="print checkpoint manifest + stats")
     c.add_argument("path")

@@ -279,6 +279,49 @@ def test_ckpt_export_cli(tmp_path):
     assert sum(1 for _ in open(tmp_path / "e.tsv")) == meta["rows"]
 
 
+def test_ckpt_import_cli(tmp_path):
+    """ckpt-import: a foreign npz/tsv row dump becomes a restorable
+    checkpoint with bit-exact values (the warm-start path INTO the
+    framework, reverse of ckpt-export)."""
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    rng = np.random.default_rng(7)
+    ids = rng.choice(1 << 40, size=300, replace=False).astype(np.int64)
+    values = rng.standard_normal((300, 8)).astype(np.float32)
+    np.savez(tmp_path / "dump.npz", ids=ids, values=values)
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "ckpt-import",
+         str(tmp_path / "dump.npz"), "--out", str(tmp_path / "ck")],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    meta = json.loads(out.stdout.strip().splitlines()[-1])
+    assert meta["rows_imported"] == 300 and meta["dim"] == 8
+    assert meta["capacity"] >= 375  # auto-sized to load<=0.8
+
+    from meepoembedding_tpu.config import TableConfig
+    from meepoembedding_tpu.table.runtime import DynamicEmbeddingTable
+
+    t = DynamicEmbeddingTable(TableConfig(dim=8, capacity=1 << 10))
+    t.load(str(tmp_path / "ck"))
+    got = np.asarray(t.lookup(ids[:64], train=False))
+    np.testing.assert_array_equal(got, values[:64])
+
+    # tsv round trip: text dump -> import -> same rows
+    with open(tmp_path / "dump.tsv", "w") as fh:
+        for i in range(50):
+            fh.write(f"{int(ids[i])}\t" + ",".join(repr(float(x)) for x in values[i]) + "\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "ckpt-import",
+         str(tmp_path / "dump.tsv"), "--out", str(tmp_path / "ck2")],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    t2 = DynamicEmbeddingTable(TableConfig(dim=8, capacity=1 << 10))
+    t2.load(str(tmp_path / "ck2"))
+    got2 = np.asarray(t2.lookup(ids[:50], train=False))
+    np.testing.assert_array_equal(got2, values[:50])
+
+
 def test_http_serving(tmp_path):
     """serve --http: live endpoint scores requests with probe-only lookups;
     health endpoint reports restored rows; ragged batches pad cleanly;
