@@ -169,6 +169,11 @@ class RunConfig:
     # "constant" | "linear" | "cosine", with an optional linear warmup.
     lr_schedule: str = "constant"
     warmup_steps: int = 0
+    # Global-norm clip on the dense-tower grads (after the DP psum, so the
+    # decision is device-identical). None = off; 0.0 freezes the towers
+    # (embedding-only fine-tune). Sparse/table grads are NOT clipped — the
+    # adaptive sparse optimizers self-normalize per row.
+    grad_clip_norm: Optional[float] = None
     mesh_shape: Tuple[int, ...] = ()  # () -> all devices on one 'shard' axis
     profile_dir: Optional[str] = None
     # Static per-(src,dst) all-to-all capacity = a2a_factor * unique_cap / S.

@@ -286,6 +286,24 @@ def dense_adam_update(params, grads, state, lr: float, b1=0.9, b2=0.999, eps=1e-
     return new, (m, v, t)
 
 
+def clip_by_global_norm(grads, max_norm: float):
+    """Scale a dense-grad pytree so its GLOBAL L2 norm is <= max_norm (the
+    standard stabilizer for deep towers; SURVEY.md C18). Norm accumulates in
+    f32 regardless of tower dtype. max_norm == 0.0 zeroes the dense grads —
+    a deliberate degenerate mode that freezes the towers (embedding-only
+    fine-tune, e.g. adapting a warm-started table to new ids).
+
+    In the sharded trainers this is applied AFTER the dense-grad psum, so
+    the clip decision is identical on every device (no divergence)."""
+    sq = sum(
+        jnp.sum(jnp.square(g.astype(jnp.float32))) for g in jax.tree.leaves(grads)
+    )
+    norm = jnp.sqrt(sq)
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-30))
+    return jax.tree.map(lambda g: (g.astype(jnp.float32) * scale).astype(g.dtype),
+                        grads)
+
+
 def schedule_lr(kind: str, base_lr: float, step, total_steps: int,
                 warmup_steps: int = 0):
     """Dense-tower learning-rate schedule, evaluated INSIDE the jitted step

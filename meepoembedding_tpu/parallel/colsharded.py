@@ -154,7 +154,7 @@ def _unsqueeze2(shard):
 
 def make_col_step(spec: TableSpec, model, mesh: Mesh, dense_lr: float,
                   unique_cap: int, a2a_factor: float = 1.25,
-                  combiner: str = "mean"):
+                  combiner: str = "mean", grad_clip_norm=None):
     """Jitted 2-D sharded train step. `spec` is the GLOBAL (full-dim)
     geometry; the table state is [S, C, ...] column-local shards."""
     S, C = mesh.shape[SHARD_AXIS], mesh.shape[COL_AXIS]
@@ -206,6 +206,8 @@ def make_col_step(spec: TableSpec, model, mesh: Mesh, dense_lr: float,
         # dense grads are identical across `c` (replicated tower pass): psum
         # over `d` alone keeps them replicated on the full mesh
         g_dense = lax.psum(g_dense, SHARD_AXIS)
+        if grad_clip_norm is not None:
+            g_dense = optim.clip_by_global_norm(g_dense, grad_clip_norm)
         params, opt_state = optim.dense_adam_update(
             params, g_dense, opt_state, dense_lr
         )
@@ -306,6 +308,7 @@ class ColShardedTrainer:
             self.spec, self.model, self.mesh,
             self.run_cfg.dense_learning_rate, self.unique_cap,
             self.run_cfg.a2a_factor, self._model_cfg.combiner,
+            grad_clip_norm=self.run_cfg.grad_clip_norm,
         )
         self._eval_fn = make_col_eval(
             self.spec, self.model, self.mesh, self.unique_cap,

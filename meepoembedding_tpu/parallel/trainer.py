@@ -91,7 +91,7 @@ def stacked_from_shards(shards_by_id: dict, mesh, template_stacked):
 def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap: int,
                       a2a_factor: float = 1.25, combiner: str = "mean",
                       lr_schedule: str = "constant", total_steps: int = 0,
-                      warmup_steps: int = 0):
+                      warmup_steps: int = 0, grad_clip_norm=None):
     """Build the jitted sharded train step. Batch arrays carry the GLOBAL
     batch on axis 0 (sharded over `d`); table state is stacked [S, ...].
     Also returns this step's global route_drops count so the trainer can
@@ -133,6 +133,8 @@ def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap:
         )(params, emb_u)
         shard = st.exchange_apply_grads(spec, shard, ctx, g_u, SHARD_AXIS, cap)
         g_dense = lax.psum(g_dense, SHARD_AXIS)
+        if grad_clip_norm is not None:
+            g_dense = optim.clip_by_global_norm(g_dense, grad_clip_norm)
         lr = optim.schedule_lr(lr_schedule, dense_lr, step,
                                max(total_steps, 1), warmup_steps)
         params, opt_state = optim.dense_adam_update(params, g_dense, opt_state, lr)
@@ -289,6 +291,7 @@ class ShardedTrainer:
             lr_schedule=self.run_cfg.lr_schedule,
             total_steps=self.run_cfg.steps,
             warmup_steps=self.run_cfg.warmup_steps,
+            grad_clip_norm=self.run_cfg.grad_clip_norm,
         )
         self._eval_fn = make_sharded_eval(
             self.spec, self.model, self.mesh, self.unique_cap, self.a2a_factor,

@@ -116,6 +116,8 @@ class Trainer:
                     loss_fn, argnums=(0, 1), has_aux=True
                 )(params, rows_u)
                 shard = optim.apply_sparse_grads(spec, shard, slot, g_rows)
+            if rc.grad_clip_norm is not None:
+                g_dense = optim.clip_by_global_norm(g_dense, rc.grad_clip_norm)
             lr = optim.schedule_lr(rc.lr_schedule, rc.dense_learning_rate,
                                    step, rc.steps, rc.warmup_steps)
             params, opt_state = optim.dense_adam_update(params, g_dense, opt_state, lr)
