@@ -133,7 +133,7 @@ class TableConfig:
 class ModelConfig:
     """DLRM/CTR model geometry (SURVEY.md C16)."""
 
-    kind: str = "dlrm"  # "dlrm" | "ctr_mlp" | "dcn" | "deepfm" | "two_tower" | "din"
+    kind: str = "dlrm"  # dlrm | ctr_mlp | dcn | deepfm | two_tower | din | bst
     num_dense_features: int = 13
     num_sparse_features: int = 26
     # two_tower only: the first num_query_features sparse columns feed the
@@ -151,6 +151,10 @@ class ModelConfig:
     top_mlp: Tuple[int, ...] = (256, 128, 1)
     num_cross_layers: int = 3  # dcn only
     attention_mlp: Tuple[int, ...] = (32,)  # din activation-unit hidden sizes
+    # bst only (models/bst.py): encoder geometry over [target + behaviors]
+    attention_heads: int = 2
+    transformer_blocks: int = 1
+    max_seq_len: int = 64  # upper bound on bag_len + 1 (position table rows)
     dtype: str = "float32"
 
 

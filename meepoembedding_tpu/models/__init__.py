@@ -1,3 +1,4 @@
+from meepoembedding_tpu.models.bst import BST  # noqa: F401
 from meepoembedding_tpu.models.ctr_mlp import CtrMlp  # noqa: F401
 from meepoembedding_tpu.models.dcn import DCNv2  # noqa: F401
 from meepoembedding_tpu.models.deepfm import DeepFM  # noqa: F401
@@ -19,4 +20,6 @@ def build_model(cfg):
         return TwoTower(cfg)
     if cfg.kind == "din":
         return DIN(cfg)
+    if cfg.kind == "bst":
+        return BST(cfg)
     raise ValueError(f"unknown model kind: {cfg.kind}")
