@@ -7,6 +7,9 @@ contribute zero embeddings, multi-hot bags pool with the configured
 combiner. `serve_http` exposes it over a dependency-free stdlib HTTP server:
 
   POST /score   {"dense": [[...]], "ids": [[...]]}  ->  {"scores": [...]}
+  POST /reload  {"ckpt": "/path"} (both optional) -> hot-swap to a newer
+                checkpoint without dropping traffic; default: re-read the
+                ckpt path the service was started with
   GET  /healthz ->  {"ok": true, "rows": N, "step": k, "dim": d}
   GET  /metrics ->  Prometheus text format: table counters, live rows,
                     request count and latency quantiles
@@ -35,6 +38,8 @@ class ScoringService:
         from meepoembedding_tpu.table.runtime import DynamicEmbeddingTable
 
         self.table_cfg, self.model_cfg = table_cfg, model_cfg
+        self.quantize = quantize
+        self._ckpt_path = ckpt_path
         if quantize == "int8":
             # read-only int8 serving table (serving_quant.py): ~3x smaller
             from meepoembedding_tpu.serving_quant import QuantizedTable
@@ -110,6 +115,39 @@ class ScoringService:
                 del self._lat_ms[:512]
             return p
 
+    def reload(self, ckpt_path: str | None = None) -> dict:
+        """Hot-swap to a (usually newer) checkpoint without dropping
+        traffic: the replacement table + dense params are fully restored
+        OFF the serving lock — in-flight and queued /score requests keep
+        answering from the old state — then swapped in atomically. The
+        compiled score functions are keyed only on input shape and model
+        (not on table/params identity), so no recompiles after a swap.
+        Raises on a bad/missing checkpoint, leaving the old state serving."""
+        import jax
+
+        from meepoembedding_tpu import checkpoint
+        from meepoembedding_tpu.table.runtime import DynamicEmbeddingTable
+
+        path = ckpt_path or self._ckpt_path
+        if self.quantize == "int8":
+            from meepoembedding_tpu.serving_quant import QuantizedTable
+
+            manifest = checkpoint.read_manifest(path)
+            assert manifest["dim"] == self.table_cfg.dim, (
+                f"dim mismatch: ckpt {manifest['dim']} vs {self.table_cfg.dim}"
+            )
+            table = QuantizedTable.from_checkpoint(path)
+        else:
+            table = DynamicEmbeddingTable(self.table_cfg)
+            manifest = table.load(path)
+        params = self.model.init(jax.random.PRNGKey(0))
+        if "params" in manifest.get("dense", []):
+            params = checkpoint.load_dense(path, "params", params)
+        with self._lock:
+            self.table, self.params, self.manifest = table, params, manifest
+            self._ckpt_path = path
+        return self.stats()
+
     def metrics_text(self) -> str:
         """Prometheus exposition format: counters + latency quantiles."""
         lines = [
@@ -172,6 +210,15 @@ def make_http_server(service: ScoringService, port: int,
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
+            if self.path == "/reload":
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n)) if n else {}
+                    out = service.reload(req.get("ckpt"))
+                    self._reply(200, out)
+                except Exception as e:  # old state keeps serving
+                    self._reply(400, {"error": str(e)})
+                return
             if self.path == "/retrieve":
                 if retrieval is None:
                     self._reply(404, {"error": "retrieval not enabled"})

@@ -459,3 +459,53 @@ def test_http_serving_quantized(tmp_path):
             proc.terminate()
             proc.wait(timeout=10)
     assert np.allclose(scores["none"], scores["int8"], atol=0.02), scores
+
+
+def test_serving_hot_reload(tmp_path):
+    """ScoringService.reload hot-swaps to a newer checkpoint: step/rows
+    update, scores change to the new state, and a failed reload leaves the
+    old state serving (in-process; the /reload endpoint is a thin wrapper)."""
+    from meepoembedding_tpu.config import ModelConfig, RunConfig, TableConfig
+    from meepoembedding_tpu.serving import ScoringService
+    from meepoembedding_tpu.train import Trainer
+
+    rc = RunConfig(batch_size=64, steps=8)
+    tc = TableConfig(dim=8, capacity=1 << 12)
+    mc = ModelConfig(kind="ctr_mlp", num_dense_features=4,
+                     num_sparse_features=3, embedding_dim=8, top_mlp=(16, 1))
+    tr = Trainer(rc, tc, mc)
+    rng = np.random.default_rng(0)
+
+    def batch():
+        return {
+            "ids": rng.integers(0, 2000, size=(64, 3)).astype(np.int64),
+            "dense": rng.normal(size=(64, 4)).astype(np.float32),
+            "label": rng.integers(0, 2, size=64).astype(np.float32),
+        }
+
+    for _ in range(4):
+        tr.train_step(batch())
+    tr.save_checkpoint(str(tmp_path / "ckA"))
+    for _ in range(4):
+        tr.train_step(batch())
+    tr.save_checkpoint(str(tmp_path / "ckB"))
+
+    svc = ScoringService(str(tmp_path / "ckA"), tc, mc)
+    step_a = svc.stats()["step"]
+    q_dense = np.zeros((16, 4), np.float32)
+    q_ids = rng.integers(0, 2000, size=(16, 3)).astype(np.int64)
+    s_a = svc.score(q_dense, q_ids)
+
+    out = svc.reload(str(tmp_path / "ckB"))
+    assert out["step"] > step_a and out["rows"] > 0
+    s_b = svc.score(q_dense, q_ids)
+    assert not np.allclose(s_a, s_b)  # 4 extra steps moved the params
+
+    # failed reload (missing dir) must raise and keep the old state serving
+    with pytest.raises(Exception):
+        svc.reload(str(tmp_path / "nonexistent"))
+    assert svc.stats()["step"] == out["step"]
+    np.testing.assert_allclose(svc.score(q_dense, q_ids), s_b)
+
+    # default path: re-read the last-loaded checkpoint location
+    assert svc.reload()["step"] == out["step"]
