@@ -46,3 +46,9 @@ from meepoembedding_tpu.config import (  # noqa: F401
     RunConfig,
 )
 from meepoembedding_tpu.table.runtime import DynamicEmbeddingTable  # noqa: F401
+
+# Heavier surfaces (trainers, TableGroup, serving) import from their modules:
+#   from meepoembedding_tpu.train import Trainer
+#   from meepoembedding_tpu.group_train import GroupTrainer
+#   from meepoembedding_tpu.table.group import TableGroup
+#   from meepoembedding_tpu.parallel.trainer import ShardedTrainer

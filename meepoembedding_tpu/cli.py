@@ -483,6 +483,11 @@ def cmd_serve(args) -> int:
     model_cfg = dataclasses.replace(model_cfg, embedding_dim=table_cfg.dim)
     if getattr(args, "http", 0):
         # online endpoint: block serving HTTP until interrupted
+        if getattr(args, "distributed", False):
+            raise SystemExit(
+                "serve --http is single-device (ScoringService); drop "
+                "--distributed or use batch mode for sharded serving"
+            )
         from meepoembedding_tpu.serving import ScoringService, make_http_server
 
         svc = ScoringService(args.ckpt, table_cfg, model_cfg,
