@@ -23,3 +23,20 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs_between_modules():
+    """Release compiled executables after each test module. Every trainer
+    instance re-jits its step closures, so a full-suite process accumulates
+    hundreds of XLA:CPU LLVM-JIT'd programs; past ~200 modules' worth the
+    CPU compiler segfaults mid-compilation (observed deterministically at
+    the same late test, at only ~4 GB RSS on a 125 GB box — compiler/JIT
+    state, not memory pressure). Per-module cache clearing keeps the live
+    executable count bounded; cross-module recompiles of the shared
+    module-level jits are the (measured, small) price."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
