@@ -108,25 +108,69 @@ def load_configs(
             raise KeyError(f"--set section must be run/table/model, got '{section}'")
         layers[section][rest] = v
 
-    def build(cls, d):
-        cfg = cls()
-        flat = {}
-
-        def flatten(prefix, dd):
-            for k, v in dd.items():
-                if isinstance(v, dict):
-                    flatten(f"{prefix}{k}.", v)
-                else:
-                    flat[f"{prefix}{k}"] = v
-
-        flatten("", d)
-        return _apply_overrides(cfg, flat)
-
     return (
-        build(RunConfig, layers["run"]),
-        build(TableConfig, layers["table"]),
-        build(ModelConfig, layers["model"]),
+        _build_cfg(RunConfig, layers["run"]),
+        _build_cfg(TableConfig, layers["table"]),
+        _build_cfg(ModelConfig, layers["model"]),
     )
+
+
+def _build_cfg(cls, d: dict):
+    """Nested field dict -> frozen config dataclass (shared by the run/table/
+    model sections and the per-table entries of a `tables:` group config)."""
+    flat = {}
+
+    def flatten(prefix, dd):
+        for k, v in dd.items():
+            if isinstance(v, dict):
+                flatten(f"{prefix}{k}.", v)
+            else:
+                flat[f"{prefix}{k}"] = v
+
+    flatten("", d)
+    return _apply_overrides(cls(), flat)
+
+
+def load_group_configs(config_path: Optional[str], sets: Optional[list] = None):
+    """Heterogeneous multi-table training config (group_train.GroupTrainer).
+
+    Returns (run_cfg, {name: TableConfig}, feature_map, model_cfg) when the
+    YAML carries a `tables:` section, else None:
+
+        tables:
+          user: {dim: 64, capacity: 4194304, optimizer: {kind: rowwise_adagrad}}
+          item: {dim: 32, capacity: 1048576}
+        feature_map: [user, item, item]   # sparse column -> table
+        run: {...}   model: {...}         # the normal sections
+
+    `--set run.* / model.*` overrides apply as usual (`--set table.*` is the
+    single-table section and is rejected here to avoid silent no-ops)."""
+    if not config_path:
+        return None
+    import yaml
+
+    with open(config_path) as f:
+        doc = yaml.safe_load(f) or {}
+    if "tables" not in doc:
+        return None
+    if any(item.partition("=")[0].startswith("table.") for item in sets or []):
+        raise SystemExit(
+            "--set table.* does not apply to a `tables:` group config; "
+            "set per-table fields in the YAML"
+        )
+    feature_map = doc.get("feature_map")
+    if not feature_map:
+        raise SystemExit("`tables:` config needs a `feature_map:` list")
+    run_cfg, _, model_cfg = load_configs(config_path, sets)
+    tables = {
+        name: _build_cfg(TableConfig, dict(spec or {}))
+        for name, spec in doc["tables"].items()
+    }
+    if model_cfg.num_sparse_features != len(feature_map):
+        model_cfg = dataclasses.replace(
+            model_cfg, num_sparse_features=len(feature_map)
+        )
+    return run_cfg, tables, list(feature_map), model_cfg
 
 
 def _make_spill(args, table_cfg):
@@ -193,9 +237,54 @@ def make_train_stream(data: str, run_cfg, model_cfg, host_id: int, num_hosts: in
     ))
 
 
+def _train_group(args, run_cfg, tables, feature_map, model_cfg) -> int:
+    """Heterogeneous multi-table training (group_train.GroupTrainer) behind
+    the same `train` front end, selected by a `tables:` YAML section.
+    Single-device; the sharded trainers cover the single-table geometry."""
+    if args.distributed:
+        raise SystemExit("`tables:` group training is single-device; "
+                         "drop --distributed")
+    if getattr(args, "spill", "none") not in (None, "none"):
+        raise SystemExit("`tables:` group training does not support --spill")
+    import jax
+
+    from meepoembedding_tpu.group_train import GroupTrainer
+    from meepoembedding_tpu.metrics import JsonlLogger, Meter
+
+    stream = make_train_stream(
+        args.data, run_cfg, model_cfg, jax.process_index(), jax.process_count(),
+        bag_len=args.bag_len,
+    )
+    tr = GroupTrainer(run_cfg, tables, feature_map, model_cfg)
+    if args.restore:
+        tr.load_checkpoint(args.restore)
+    logger = JsonlLogger(echo=True)
+    loss_m = Meter()
+    t0 = time.perf_counter()
+    examples = 0
+    for i, batch in enumerate(stream.batches(run_cfg.steps)):
+        loss_m.update(tr.train_step(batch)["loss"])
+        examples += len(batch["label"])
+        if (i + 1) % run_cfg.log_every == 0:
+            logger.log(
+                step=tr.step, loss=loss_m.mean, auc=tr.auc.compute(),
+                examples_per_sec=examples / (time.perf_counter() - t0),
+                rows={n: c["rows"] for n, c in tr.counters().items()},
+            )
+        if args.ckpt_dir and args.ckpt_every and (i + 1) % args.ckpt_every == 0:
+            tr.save_checkpoint(args.ckpt_dir)
+    if args.ckpt_dir:
+        tr.save_checkpoint(args.ckpt_dir)
+    print(json.dumps({"final_auc": tr.auc.compute(), "steps": tr.step}))
+    return 0
+
+
 def cmd_train(args) -> int:
     import jax
 
+    grp = load_group_configs(args.config, args.set)
+    if grp is not None:
+        return _train_group(args, *grp)
     run_cfg, table_cfg, model_cfg = load_configs(args.config, args.set)
     model_cfg = dataclasses.replace(model_cfg, embedding_dim=table_cfg.dim)
     stream = make_train_stream(

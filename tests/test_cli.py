@@ -509,3 +509,56 @@ def test_serving_hot_reload(tmp_path):
 
     # default path: re-read the last-loaded checkpoint location
     assert svc.reload()["step"] == out["step"]
+
+
+def test_group_train_cli(tmp_path):
+    """`train --config <yaml with tables:>` routes to GroupTrainer: trains,
+    writes a TableGroup-layout checkpoint, and restores from it."""
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    cfg = tmp_path / "group.yaml"
+    cfg.write_text(
+        """
+tables:
+  user: {dim: 16, capacity: 4096}
+  item: {dim: 8, capacity: 2048, optimizer: {kind: ftrl, learning_rate: 0.05}}
+feature_map: [user, item, item]
+run: {steps: 5, batch_size: 64, log_every: 2}
+model: {num_dense_features: 4, top_mlp: [16, 1]}
+"""
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "train",
+         "--config", str(cfg), "--data", "synthetic",
+         "--ckpt-dir", str(tmp_path / "gck")],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    final = json.loads(out.stdout.strip().splitlines()[-1])
+    assert final["steps"] == 5
+    assert (tmp_path / "gck" / "group.json").exists()
+    logs = [json.loads(l) for l in out.stdout.strip().splitlines()[:-1]]
+    assert {"user", "item"} <= set(logs[-1]["rows"])  # per-table row counts
+
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "train",
+         "--config", str(cfg), "--data", "synthetic",
+         "--restore", str(tmp_path / "gck")],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert json.loads(out.stdout.strip().splitlines()[-1])["steps"] == 10
+
+    # guards: --distributed and --set table.* are rejected up front
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "train",
+         "--config", str(cfg), "--data", "synthetic", "--distributed"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode != 0 and "single-device" in out.stderr
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "train",
+         "--config", str(cfg), "--data", "synthetic",
+         "--set", "table.dim=32"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode != 0 and "tables:" in out.stderr
