@@ -703,6 +703,9 @@ def cmd_eval(args) -> int:
 
     run_cfg, table_cfg, model_cfg = load_configs(args.config, args.set)
     model_cfg = dataclasses.replace(model_cfg, embedding_dim=table_cfg.dim)
+    grp = load_group_configs(args.config, args.set)
+    if grp is not None:  # heterogeneous multi-table checkpoint (group.json)
+        run_cfg, _, _, model_cfg = grp
     if args.data == "synthetic":
         stream = make_train_stream(
             args.data, run_cfg, model_cfg, jax.process_index(),
@@ -733,7 +736,12 @@ def cmd_eval(args) -> int:
         ks = [int(k) for k in str(args.topk).split(",")]
         print(json.dumps(ret.evaluate(batches, ks=ks)))
         return 0
-    if getattr(args, "distributed", False) and jax.device_count() > 1:
+    if grp is not None:
+        # heterogeneous multi-table checkpoint (group.json layout)
+        from meepoembedding_tpu.group_train import GroupTrainer
+
+        tr = GroupTrainer(*grp)
+    elif getattr(args, "distributed", False) and jax.device_count() > 1:
         from meepoembedding_tpu.parallel.trainer import ShardedTrainer
 
         tr = ShardedTrainer(run_cfg, table_cfg, model_cfg)

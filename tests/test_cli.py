@@ -548,6 +548,17 @@ model: {num_dense_features: 4, top_mlp: [16, 1]}
     assert out.returncode == 0, out.stderr[-2000:]
     assert json.loads(out.stdout.strip().splitlines()[-1])["steps"] == 10
 
+    # offline eval restores the group checkpoint and reports AUC
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "eval",
+         "--config", str(cfg), "--ckpt", str(tmp_path / "gck"),
+         "--data", "synthetic"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    ev = json.loads(out.stdout.strip().splitlines()[-1])
+    assert 0.0 <= ev["auc"] <= 1.0 and ev["examples"] > 0
+
     # guards: --distributed and --set table.* are rejected up front
     out = subprocess.run(
         [sys.executable, "-m", "meepoembedding_tpu", "train",
