@@ -48,6 +48,7 @@ from meepoembedding_tpu.config import (  # noqa: F401
 from meepoembedding_tpu.table.runtime import DynamicEmbeddingTable  # noqa: F401
 
 # Heavier surfaces (trainers, TableGroup, serving) import from their modules:
+#   from meepoembedding_tpu import embed          # differentiable lookup op
 #   from meepoembedding_tpu.train import Trainer
 #   from meepoembedding_tpu.group_train import GroupTrainer
 #   from meepoembedding_tpu.table.group import TableGroup

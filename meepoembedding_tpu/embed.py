@@ -36,9 +36,10 @@ In functional JAX the table is explicit state: `lookup`/`update` thread the
 `TableShard` pytree instead of mutating a hidden variable, which is what lets
 XLA donate the buffers and keep 100M+-row tables single-copy in HBM.
 
-For a row-sharded table under `shard_map`, use
-`parallel.sharded_table.ShardedDynamicTable` — same phases with an all-to-all
-owner exchange between them.
+For a row-sharded table under `shard_map`, compose
+`parallel.sharded_table.exchange_lookup` / `exchange_apply_grads` — the same
+phases with a drop-free all-to-all owner exchange between them (see
+`parallel.trainer.ShardedTrainer._build_step` for the canonical wiring).
 """
 
 from __future__ import annotations
