@@ -35,6 +35,9 @@ def main():
     batch = int(os.environ.get("MEEPO_BENCH_BATCH", 1 << 19))
     dim = int(os.environ.get("MEEPO_BENCH_DIM", 32))
     steps = int(os.environ.get("MEEPO_BENCH_STEPS", 20))
+    # more, shorter windows survive tunnel stalls: min-of-W only needs ONE
+    # clean window, and multi-100ms host stalls hit ~1 window/second
+    nwin = int(os.environ.get("MEEPO_BENCH_WINDOWS", 3))
     fill = 0.8
     d = int(os.environ.get("MEEPO_BENCH_DEPTH", 2))
 
@@ -103,7 +106,7 @@ def main():
         if donate_shard:
             shard = sh
         windows = []
-        for _w in range(3):
+        for _w in range(nwin):
             t0 = time.perf_counter()
             accs = []
             for i, (h, l) in enumerate(batches):
@@ -116,7 +119,8 @@ def main():
             float(accs[-1])
             windows.append((time.perf_counter() - t0) / steps)
         dt = min(windows) * 1e3
-        log(f"{name:40s} {dt:8.2f} ms")
+        ws = ",".join(f"{w*1e3:.0f}" for w in windows)
+        log(f"{name:40s} {dt:8.2f} ms   [{ws}]")
         return dt
 
     # --- variants ------------------------------------------------------------
@@ -221,7 +225,7 @@ def main():
         jax.block_until_ready(a)
         values = v
         windows = []
-        for _w in range(3):
+        for _w in range(nwin):
             t0 = time.perf_counter()
             accs = []
             for i, s in enumerate(slots):
@@ -232,7 +236,8 @@ def main():
                     float(accs[i - d])
             float(accs[-1])
             windows.append((time.perf_counter() - t0) / steps)
-        log(f"{name:40s} {min(windows)*1e3:8.2f} ms")
+        ws = ",".join(f"{w*1e3:.0f}" for w in windows)
+        log(f"{name:40s} {min(windows)*1e3:8.2f} ms   [{ws}]")
 
     timed_static("STATIC (xla scatter)", v_static)
     stream_merge.STREAM_THRESHOLD_BYTES = 0
