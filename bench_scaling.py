@@ -62,7 +62,10 @@ def main():
         tr.train_step(next(stream))
         t0 = time.perf_counter()
         for b in stream:
-            tr.train_step(b)  # train_step fetches loss: a real barrier
+            # pipelined: the trainer fetches step i-depth's loss internally
+            # (a real completion barrier that hides behind in-flight steps)
+            tr.train_step(b)
+        tr.flush()  # drain the final in-flight steps before closing the clock
         dt = time.perf_counter() - t0
         rates[S] = batch * steps / dt
         log(f"S={S}: {rates[S]:.0f} examples/s ({dt/steps*1e3:.1f} ms/step)")

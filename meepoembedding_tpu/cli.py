@@ -350,7 +350,10 @@ def cmd_train(args) -> int:
                 ).batches(run_cfg.steps)
             for i, batch in enumerate(stream.batches(run_cfg.steps)):
                 out = tr.train_step(batch)
-                loss_m.update(out["loss"])
+                # pipelined trainer: loss is lagged by run.pipeline_depth
+                # steps and None while the pipe fills
+                if out["loss"] is not None:
+                    loss_m.update(out["loss"])
                 examples += len(batch["label"])
                 if args.maintenance_every and (i + 1) % args.maintenance_every == 0:
                     tr.maintenance()
@@ -383,6 +386,8 @@ def cmd_train(args) -> int:
                     )
                 if args.ckpt_dir and args.ckpt_every and (i + 1) % args.ckpt_every == 0:
                     tr.save_checkpoint(args.ckpt_dir)
+            for _s, l in tr.flush():
+                loss_m.update(l)
             if args.ckpt_dir:
                 tr.save_checkpoint(args.ckpt_dir)
         else:

@@ -187,3 +187,9 @@ class RunConfig:
     # the factor (recompiling the step) if a drop is ever observed, so the
     # exchange is drop-free in steady state without lossless S-times buffers.
     a2a_factor: float = 1.25
+    # Host-fetch lag of the sharded trainer (parallel/trainer.py): step i's
+    # scalars/arrays are read back only at step i+depth, so the host never
+    # blocks on the step it just dispatched and the device pipeline stays
+    # full — the discipline bench.py proved necessary for honest throughput.
+    # 0 = fully synchronous per-step semantics (exact per-step loss returns).
+    pipeline_depth: int = 2

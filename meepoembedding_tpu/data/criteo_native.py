@@ -26,6 +26,11 @@ _LIB_ERR: Optional[str] = None
 
 
 def _repo_root() -> str:
+    """Directory holding csrc/. MEEPO_CSRC overrides for non-editable
+    installs where the package does not live inside a source checkout."""
+    env = os.environ.get("MEEPO_CSRC")
+    if env:
+        return env
     return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

@@ -75,6 +75,26 @@ def _route(uh, ul, valid, num_shards: int, cap: int):
     return owner, pos, ok
 
 
+def _a2a_ids(uh, ul, o, pos, S: int, cap: int, axis: str):
+    """Route (hi, lo) id halves to owners in ONE fused all_to_all.
+
+    The two i32 halves ride as the last axis of a single [S, cap, 2] buffer,
+    so the exchange pays one collective (one ICI launch + one DMA plan)
+    instead of two back-to-back [S, cap] transfers. Payload bytes are
+    identical; the saving is per-collective overhead, which at production
+    cap sizes is the dominant cost of a small-message a2a."""
+    send = jnp.stack(
+        [
+            jnp.full((S, cap), hashing.EMPTY_HI, jnp.int32),
+            jnp.full((S, cap), hashing.EMPTY_LO, jnp.int32),
+        ],
+        axis=-1,
+    )
+    send = send.at[o, pos].set(jnp.stack([uh, ul], axis=-1), mode="drop")
+    recv = lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+    return recv[..., 0].reshape(-1), recv[..., 1].reshape(-1)
+
+
 def exchange_lookup(
     spec: TableSpec,
     shard: TableShard,
@@ -92,12 +112,7 @@ def exchange_lookup(
     owner, pos, ok = _route(uh, ul, valid, S, cap)
 
     o = jnp.where(ok, owner, S)
-    send_hi = jnp.full((S, cap), hashing.EMPTY_HI, jnp.int32).at[o, pos].set(uh, mode="drop")
-    send_lo = jnp.full((S, cap), hashing.EMPTY_LO, jnp.int32).at[o, pos].set(ul, mode="drop")
-    recv_hi = lax.all_to_all(send_hi, axis, split_axis=0, concat_axis=0)
-    recv_lo = lax.all_to_all(send_lo, axis, split_axis=0, concat_axis=0)
-
-    rhi, rlo = recv_hi.reshape(-1), recv_lo.reshape(-1)
+    rhi, rlo = _a2a_ids(uh, ul, o, pos, S, cap, axis)
     runiq = dedup.unique_pairs(rhi, rlo, size=rhi.shape[0])
     if train and spec.dim <= 128:
         # fused window-space owner-side lookup (xla_ops.lookup_train): rows
@@ -147,12 +162,22 @@ def exchange_apply_grads(
     optim.apply_sparse_grads_ctx (column-sharded rowwise accumulator)."""
     S = lax.axis_size(axis)
     o = jnp.where(ctx.ok, ctx.owner, S)
+    # Gradients ride the wire in the TABLE dtype: a bf16 table's update math
+    # quantizes to bf16 on write anyway, so shipping f32 grads would spend
+    # 2x the ICI bytes to carry precision the row can't hold. The owner-side
+    # segment-sum still runs in f32 (cast right after the a2a) so duplicate
+    # contributions accumulate at full precision.
+    wire_dtype = spec.dtype if spec.dtype == jnp.bfloat16 else jnp.float32
     send_g = (
-        jnp.zeros((S, cap, spec.dim), jnp.float32)
+        jnp.zeros((S, cap, spec.dim), wire_dtype)
         .at[o, ctx.pos]
-        .set(g_u.astype(jnp.float32), mode="drop")
+        .set(g_u.astype(wire_dtype), mode="drop")
     )
-    recv_g = lax.all_to_all(send_g, axis, split_axis=0, concat_axis=0).reshape(-1, spec.dim)
+    recv_g = (
+        lax.all_to_all(send_g, axis, split_axis=0, concat_axis=0)
+        .reshape(-1, spec.dim)
+        .astype(jnp.float32)
+    )
     if spec.dim <= 128 and not isinstance(ctx.lctx, jax.Array):
         # window-space owner-side update (see xla_ops hot-path note)
         lctx = ctx.lctx
@@ -177,11 +202,7 @@ def exchange_erase(
     S = lax.axis_size(axis)
     owner, pos, ok = _route(uh, ul, valid, S, cap)
     o = jnp.where(ok, owner, S)
-    send_hi = jnp.full((S, cap), hashing.EMPTY_HI, jnp.int32).at[o, pos].set(uh, mode="drop")
-    send_lo = jnp.full((S, cap), hashing.EMPTY_LO, jnp.int32).at[o, pos].set(ul, mode="drop")
-    recv_hi = lax.all_to_all(send_hi, axis, split_axis=0, concat_axis=0)
-    recv_lo = lax.all_to_all(send_lo, axis, split_axis=0, concat_axis=0)
-    rhi, rlo = recv_hi.reshape(-1), recv_lo.reshape(-1)
+    rhi, rlo = _a2a_ids(uh, ul, o, pos, S, cap, axis)
     runiq = dedup.unique_pairs(rhi, rlo, size=rhi.shape[0])
     shard, found = xla_ops.erase_keys(spec, shard, runiq.hi, runiq.lo, runiq.valid)
     removed = lax.psum(jnp.sum(found).astype(jnp.int32), axis)

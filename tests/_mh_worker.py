@@ -53,7 +53,8 @@ def main():
 
     rows = S // args.col
     global_batch = 16 * rows
-    run = RunConfig(batch_size=global_batch, steps=args.steps)
+    # synchronous per-step losses: workers print them for cross-run parity
+    run = RunConfig(batch_size=global_batch, steps=args.steps, pipeline_depth=0)
     table = TableConfig(dim=8, capacity=args.capacity,
                         grow_at_load=args.grow_at or None)
     model = ModelConfig(

@@ -167,7 +167,9 @@ def test_sharded_matches_single_device_training(mesh):
     from meepoembedding_tpu.train import Trainer
 
     dim = 8
-    run = RunConfig(batch_size=256, steps=8, dense_learning_rate=3e-3, seed=3)
+    # pipeline_depth=0: compare exact per-step losses without the fetch lag
+    run = RunConfig(batch_size=256, steps=8, dense_learning_rate=3e-3, seed=3,
+                    pipeline_depth=0)
     table = TableConfig(dim=dim, capacity=1 << 14, initializer_scale=0.02)
     model = ModelConfig(
         kind="ctr_mlp", num_dense_features=4, num_sparse_features=4,
@@ -279,3 +281,66 @@ def test_erase_after_growth_uses_fresh_geometry(mesh, rng):
     removed = tr.remove(ids[10:50])
     assert removed == 40
     assert len(tr) == len(seen) - 50
+
+
+def test_pipelined_matches_synchronous(mesh):
+    """pipeline_depth > 0 must change WHEN losses are fetched, never their
+    values: the lagged loss stream (plus flush) equals the depth-0 stream,
+    and AUC/counters agree."""
+    dim = 8
+    kw = dict(batch_size=256, steps=6, dense_learning_rate=3e-3, seed=11)
+    table = TableConfig(dim=dim, capacity=1 << 14, initializer_scale=0.02)
+    model = ModelConfig(
+        kind="ctr_mlp", num_dense_features=4, num_sparse_features=4,
+        embedding_dim=dim, bottom_mlp=(16, dim), top_mlp=(32, 1),
+    )
+    data = SyntheticConfig(num_dense=4, num_sparse=4, batch_size=256,
+                           vocab_per_feature=300)
+    t_sync = ShardedTrainer(RunConfig(pipeline_depth=0, **kw), table, model, mesh=mesh)
+    t_pipe = ShardedTrainer(RunConfig(pipeline_depth=3, **kw), table, model, mesh=mesh)
+    sync_losses, pipe_losses = [], []
+    for batch in SyntheticStream(data).batches(6):
+        out_s = t_sync.train_step(batch)
+        assert out_s["in_flight"] == 0 and out_s["retired_step"] is not None
+        sync_losses.append((out_s["retired_step"], out_s["loss"]))
+        out_p = t_pipe.train_step(batch)
+        if out_p["loss"] is not None:
+            pipe_losses.append((out_p["retired_step"], out_p["loss"]))
+    assert len(pipe_losses) == 3  # 6 steps, depth 3
+    pipe_losses += t_pipe.flush()
+    assert [s for s, _ in pipe_losses] == [s for s, _ in sync_losses]
+    np.testing.assert_allclose(
+        [l for _, l in pipe_losses], [l for _, l in sync_losses],
+        rtol=1e-6, atol=1e-7,
+    )
+    assert t_pipe.auc.compute() == pytest.approx(t_sync.auc.compute(), abs=1e-9)
+    assert t_pipe.counters() == t_sync.counters()
+
+
+def test_eval_step_reports_route_drops(mesh):
+    """Eval-path exchange overflow must surface as a counted drop (the
+    dropped ids silently score with zero rows otherwise) — VERDICT r2 #4."""
+    dim = 8
+    run = RunConfig(batch_size=4096, steps=1, a2a_factor=0.35, pipeline_depth=0)
+    table = TableConfig(dim=dim, capacity=1 << 16)
+    model = ModelConfig(
+        kind="ctr_mlp", num_dense_features=4, num_sparse_features=4,
+        embedding_dim=dim, bottom_mlp=(16, dim), top_mlp=(32, 1),
+    )
+    data = SyntheticConfig(
+        num_dense=4, num_sparse=4, batch_size=4096, vocab_per_feature=200000
+    )
+    tr = ShardedTrainer(run, table, model, mesh=mesh)
+    batch = next(SyntheticStream(data).batches(1))
+    out = tr.eval_step(batch)
+    assert out["route_drops"] > 0
+    assert tr.eval_route_drops == out["route_drops"]
+    # eval never mutates the table: drops are reported, not accumulated there
+    assert tr.counters()["route_drops"] == 0
+    # and a roomy exchange reports zero
+    run2 = RunConfig(batch_size=256, steps=1, pipeline_depth=0)
+    data2 = SyntheticConfig(num_dense=4, num_sparse=4, batch_size=256,
+                            vocab_per_feature=300)
+    tr2 = ShardedTrainer(run2, table, model, mesh=mesh)
+    out2 = tr2.eval_step(next(SyntheticStream(data2).batches(1)))
+    assert out2["route_drops"] == 0
