@@ -48,6 +48,75 @@ _RESTORE_BATCH = 1 << 16
 
 # --- shard export ------------------------------------------------------------
 
+def _live_slot_index(spec: TableSpec, shard: TableShard, n_live: int):
+    """Padded on-device index of every live slot (stable order). One nonzero
+    pass; the caller slices chunks out of it."""
+    cap = spec.capacity
+    e_pad = 1 << max(10, (n_live - 1).bit_length())
+
+    @partial(jax.jit, static_argnums=(0, 1))
+    def live_slots(spec, e_pad, shard):
+        lm = live_mask(shard).reshape(-1)
+        (idx,) = jnp.nonzero(lm, size=e_pad, fill_value=cap)
+        return idx.astype(jnp.int32)
+
+    return live_slots(spec, e_pad, shard), e_pad
+
+
+def _fetch_chunk(spec: TableSpec, shard: TableShard, idx_all, e_pad: int,
+                 o: int, n: int, chunk: int) -> dict:
+    """Device->host fetch of live rows [o, o+n) in RAW dtypes: a bf16 table's
+    values cross the (slow) device link as 2-byte rows, not widened f32 —
+    half the checkpoint bytes for the dominant payload (VERDICT r2 #7)."""
+    cap = spec.capacity
+    slots = jax.lax.dynamic_slice(idx_all, (o,), (min(chunk, e_pad - o),))[:n]
+    slots_c = jnp.clip(slots, 0, cap - 1)
+    hi = xla_ops.gather_bucket_plane(shard.key_hi, slots_c)
+    lo = xla_ops.gather_bucket_plane(shard.key_lo, slots_c)
+    part = {
+        "ids": hashing.join_ids(np.asarray(hi), np.asarray(lo)),
+        "values": np.asarray(xla_ops.gather_values(spec, shard.values, slots_c)),
+        "freq": np.asarray(xla_ops.gather_bucket_plane(shard.freq, slots_c)),
+        "last": np.asarray(xla_ops.gather_bucket_plane(shard.last, slots_c)),
+    }
+    if shard.opt_rowwise:
+        part["accum"] = np.asarray(
+            xla_ops.gather_bucket_plane(shard.opt_rowwise[0], slots_c),
+            np.float32,
+        )
+    for j, plane in enumerate(shard.opt_fulldim):
+        part[f"full{j}"] = np.asarray(xla_ops.gather_values(spec, plane, slots_c))
+    return part
+
+
+def _encode_arrays(arrs: dict) -> dict:
+    """npz-storable encoding: bfloat16 arrays ride as their raw uint16 bits
+    under a `<name>@bf16` key (numpy's npz has no bf16 dtype)."""
+    import ml_dtypes
+
+    out = {}
+    for k, a in arrs.items():
+        if a.dtype == ml_dtypes.bfloat16:
+            out[f"{k}@bf16"] = a.view(np.uint16)
+        else:
+            out[k] = np.asarray(a, np.float32) if a.dtype == np.float64 else a
+    return out
+
+
+def _decode_arrays(z) -> dict:
+    """Inverse of _encode_arrays over a loaded npz; bf16 widens to exact f32."""
+    import ml_dtypes
+
+    out = {}
+    for k in z.files:
+        a = z[k]
+        if k.endswith("@bf16"):
+            out[k[:-5]] = a.view(ml_dtypes.bfloat16).astype(np.float32)
+        else:
+            out[k] = a
+    return out
+
+
 def export_shard_arrays(
     spec: TableSpec, shard: TableShard, chunk_buckets: int = 8192
 ) -> dict:
@@ -59,64 +128,117 @@ def export_shard_arrays(
     previous formulation fetched whole bucket-plane slices and compacted on
     host — ~4x the bytes and hundreds of small transfers, which is
     prohibitive over slow device links.) Fetches are chunked so the staged
-    dense rows never exceed ~0.5 GB of extra HBM."""
+    dense rows never exceed ~0.5 GB of extra HBM. Values come back f32
+    regardless of table dtype (legacy eager-export path; the streamed
+    part-file path keeps raw dtypes)."""
     cap = spec.capacity
     n_live = int(jnp.sum(shard.cnt))
     parts: List[dict] = []
     if n_live:
-        # one pass: indices of every live slot (padded, stable order)
-        e_pad = 1 << max(10, (n_live - 1).bit_length())
-
-        @partial(jax.jit, static_argnums=(0, 1))
-        def live_slots(spec, e_pad, shard):
-            lm = live_mask(shard).reshape(-1)
-            (idx,) = jnp.nonzero(lm, size=e_pad, fill_value=cap)
-            return idx.astype(jnp.int32)
-
-        idx_all = live_slots(spec, e_pad, shard)
+        idx_all, e_pad = _live_slot_index(spec, shard, n_live)
         # 4M slots/chunk: ~0.5 GB of staged f32 rows at dim 32
         chunk = int(os.environ.get("MEEPO_EXPORT_CHUNK", 1 << 22))
         for o in range(0, n_live, chunk):
             n = min(chunk, n_live - o)
-            slots = jax.lax.dynamic_slice(idx_all, (o,), (min(chunk, e_pad - o),))[:n]
-            slots_c = jnp.clip(slots, 0, cap - 1)
-            hi = xla_ops.gather_bucket_plane(shard.key_hi, slots_c)
-            lo = xla_ops.gather_bucket_plane(shard.key_lo, slots_c)
-            part = {
-                "ids": hashing.join_ids(np.asarray(hi), np.asarray(lo)),
-                "values": np.asarray(
-                    xla_ops.gather_values(spec, shard.values, slots_c), np.float32
-                ),
-                "freq": np.asarray(
-                    xla_ops.gather_bucket_plane(shard.freq, slots_c)
-                ),
-                "last": np.asarray(
-                    xla_ops.gather_bucket_plane(shard.last, slots_c)
-                ),
-            }
-            if shard.opt_rowwise:
-                part["accum"] = np.asarray(
-                    xla_ops.gather_bucket_plane(shard.opt_rowwise[0], slots_c),
-                    np.float32,
-                )
-            for j, plane in enumerate(shard.opt_fulldim):
-                part[f"full{j}"] = np.asarray(
-                    xla_ops.gather_values(spec, plane, slots_c), np.float32
-                )
+            part = _fetch_chunk(spec, shard, idx_all, e_pad, o, n, chunk)
+            part["values"] = np.asarray(part["values"], np.float32)
+            for j in range(len(shard.opt_fulldim)):
+                part[f"full{j}"] = np.asarray(part[f"full{j}"], np.float32)
             parts.append(part)
     if not parts:
-        out = {
-            "ids": np.zeros((0,), np.int64),
-            "values": np.zeros((0, spec.dim), np.float32),
-            "freq": np.zeros((0,), np.int32),
-            "last": np.zeros((0,), np.int32),
-        }
-        if spec.optimizer.num_rowwise_slots():
-            out["accum"] = np.zeros((0,), np.float32)
-        for j in range(spec.optimizer.num_fulldim_slots()):
-            out[f"full{j}"] = np.zeros((0, spec.dim), np.float32)
-        return out
+        return _empty_shard_arrays(spec)
     return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+
+
+def _empty_shard_arrays(spec: TableSpec) -> dict:
+    out = {
+        "ids": np.zeros((0,), np.int64),
+        "values": np.zeros((0, spec.dim), np.float32),
+        "freq": np.zeros((0,), np.int32),
+        "last": np.zeros((0,), np.int32),
+    }
+    if spec.optimizer.num_rowwise_slots():
+        out["accum"] = np.zeros((0,), np.float32)
+    for j in range(spec.optimizer.num_fulldim_slots()):
+        out[f"full{j}"] = np.zeros((0, spec.dim), np.float32)
+    return out
+
+
+def _part_name(i: int, p: int) -> str:
+    return f"shard-{i:05d}.part{p:04d}.npz"
+
+
+def _shard_files(d: str, i: int) -> List[str]:
+    """This shard's data files in row order: either the legacy single
+    shard-SSSSS.npz or the streamed shard-SSSSS.partPPPP.npz sequence."""
+    single = os.path.join(d, f"shard-{i:05d}.npz")
+    if os.path.exists(single):
+        return [single]
+    parts = sorted(
+        f for f in os.listdir(d)
+        if f.startswith(f"shard-{i:05d}.part") and f.endswith(".npz")
+    )
+    return [os.path.join(d, f) for f in parts]
+
+
+def save_shard_streamed(
+    gdir: str,
+    shard_id: int,
+    spec: TableSpec,
+    shard: TableShard,
+    chunk_rows: int,
+    compress: bool = False,
+) -> int:
+    """Write one shard as a sequence of independently-committed part files
+    (VERDICT r2 #7: resumable full-scale saves).
+
+    Each part covers a fixed row range of the shard's live-slot enumeration
+    and lands via atomic rename, so an interrupted save leaves a prefix of
+    valid parts in the (uncommitted) generation dir. Re-running the SAME save
+    — same table state, same step — skips existing parts WITHOUT re-fetching
+    them from the device: over a slow device link the fetch is the entire
+    cost, so a crash at part k resumes at part k. The caller owns the
+    unchanged-state contract; each part records the live count it was cut
+    from and the resume aborts on mismatch rather than mixing states.
+
+    Values (and a bf16 table's full-dim slots) are stored in their RAW dtype
+    — a bf16 table's dominant payload is 2 bytes/lane on the wire and on
+    disk. `compress=True` additionally zlib-deflates every part
+    (np.savez_compressed): ids/freq/last compress well, trained values
+    barely — worth it only when disk, not link, is the bound."""
+    n_live = int(jnp.sum(shard.cnt))
+    expected = -(-n_live // chunk_rows) if n_live else 0
+    idx_all = None
+    e_pad = 0
+    savez = np.savez_compressed if compress else np.savez
+    for p in range(expected):
+        path = os.path.join(gdir, _part_name(shard_id, p))
+        if os.path.exists(path):
+            with np.load(path) as z:
+                got = int(z["n_live"])
+            if got != n_live:
+                raise RuntimeError(
+                    f"resume mismatch: {path} was cut from a table with "
+                    f"{got} live rows, current shard has {n_live}; delete "
+                    f"the stale generation dir to start a fresh save"
+                )
+            continue
+        if idx_all is None:
+            idx_all, e_pad = _live_slot_index(spec, shard, n_live)
+        o = p * chunk_rows
+        n = min(chunk_rows, n_live - o)
+        arrs = _encode_arrays(_fetch_chunk(spec, shard, idx_all, e_pad, o, n,
+                                           chunk_rows))
+        arrs["n_live"] = np.int64(n_live)
+        _atomic_write(path, lambda f, arrs=arrs: savez(f, **arrs))
+    if expected == 0:
+        # empty shard: one empty part keeps the reader contract uniform
+        path = os.path.join(gdir, _part_name(shard_id, 0))
+        if not os.path.exists(path):
+            arrs = _encode_arrays(_empty_shard_arrays(spec))
+            arrs["n_live"] = np.int64(0)
+            _atomic_write(path, lambda f, arrs=arrs: savez(f, **arrs))
+    return n_live
 
 
 def _atomic_write(path: str, write_fn):
@@ -259,14 +381,21 @@ def save_sharded(
     gen = _gen_name(path, step)
     gdir = os.path.join(path, gen)
     os.makedirs(gdir, exist_ok=True)
+    chunk_rows = int(os.environ.get("MEEPO_CKPT_CHUNK_ROWS", 1 << 22))
+    compress = os.environ.get("MEEPO_CKPT_COMPRESS", "0") == "1"
     for i, shard in shards_by_id.items():
-        # a dict means the caller already exported (AsyncCheckpointer's
-        # snapshot); TableShards export here
-        arrs = shard if isinstance(shard, dict) else export_shard_arrays(spec, shard)
-        _atomic_write(
-            os.path.join(gdir, f"shard-{i:05d}.npz"),
-            lambda f, arrs=arrs: np.savez(f, **arrs),
-        )
+        if isinstance(shard, dict):
+            # the caller already exported (AsyncCheckpointer's snapshot):
+            # legacy single-file write of the in-memory arrays
+            _atomic_write(
+                os.path.join(gdir, f"shard-{i:05d}.npz"),
+                lambda f, arrs=shard: np.savez(f, **arrs),
+            )
+        else:
+            # streamed part files: resumable, raw-dtype payload (bf16 tables
+            # checkpoint at 2 bytes/lane), optional compression
+            save_shard_streamed(gdir, i, spec, shard, chunk_rows,
+                                compress=compress)
     dense = dense or {}
     if is_coordinator:
         for name, tree in dense.items():
@@ -280,8 +409,11 @@ def save_sharded(
     if is_coordinator:
         counts = []
         for i in range(num_shards):
-            with np.load(os.path.join(gdir, f"shard-{i:05d}.npz")) as z:
-                counts.append(int(z["ids"].shape[0]))
+            n = 0
+            for f in _shard_files(gdir, i):
+                with np.load(f) as z:
+                    n += int(z["ids"].shape[0])
+            counts.append(n)
         manifest = {
             "format": FORMAT_VERSION,
             "num_shards": num_shards,
@@ -412,8 +544,13 @@ def iter_rows(path: str) -> Iterator[dict]:
     C = int(m.get("col_shards", 1))
     for i in range(m["num_shards"]):
         if C <= 1:
-            with np.load(os.path.join(d, f"shard-{i:05d}.npz")) as z:
-                yield {k: z[k] for k in z.files}
+            files = _shard_files(d, i)
+            assert files, f"checkpoint {path}: no data files for shard {i}"
+            for fp in files:
+                with np.load(fp) as z:
+                    out = _decode_arrays(z)
+                out.pop("n_live", None)  # part-file resume metadata
+                yield out
             continue
         cols = []
         for c in range(C):

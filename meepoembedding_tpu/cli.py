@@ -238,24 +238,35 @@ def make_train_stream(data: str, run_cfg, model_cfg, host_id: int, num_hosts: in
 
 
 def _train_group(args, run_cfg, tables, feature_map, model_cfg) -> int:
-    """Heterogeneous multi-table training (group_train.GroupTrainer) behind
-    the same `train` front end, selected by a `tables:` YAML section.
-    Single-device; the sharded trainers cover the single-table geometry."""
-    if args.distributed:
-        raise SystemExit("`tables:` group training is single-device; "
-                         "drop --distributed")
+    """Heterogeneous multi-table training behind the same `train` front end,
+    selected by a `tables:` YAML section. --distributed row-shards every
+    member table over the mesh (group_train.ShardedGroupTrainer)."""
     if getattr(args, "spill", "none") not in (None, "none"):
         raise SystemExit("`tables:` group training does not support --spill")
     import jax
 
-    from meepoembedding_tpu.group_train import GroupTrainer
+    from meepoembedding_tpu.group_train import GroupTrainer, ShardedGroupTrainer
     from meepoembedding_tpu.metrics import JsonlLogger, Meter
 
     stream = make_train_stream(
         args.data, run_cfg, model_cfg, jax.process_index(), jax.process_count(),
         bag_len=args.bag_len,
     )
-    tr = GroupTrainer(run_cfg, tables, feature_map, model_cfg)
+    if args.distributed:
+        from meepoembedding_tpu.parallel.mesh import make_mesh
+
+        mesh = None
+        if run_cfg.mesh_shape:
+            n = run_cfg.mesh_shape[0]
+            assert n <= jax.device_count(), (
+                f"run.mesh_shape={run_cfg.mesh_shape} needs {n} devices, "
+                f"have {jax.device_count()}"
+            )
+            mesh = make_mesh(n)
+        tr = ShardedGroupTrainer(run_cfg, tables, feature_map, model_cfg,
+                                 mesh=mesh)
+    else:
+        tr = GroupTrainer(run_cfg, tables, feature_map, model_cfg)
     if args.restore:
         tr.load_checkpoint(args.restore)
     logger = JsonlLogger(echo=True)
@@ -263,7 +274,9 @@ def _train_group(args, run_cfg, tables, feature_map, model_cfg) -> int:
     t0 = time.perf_counter()
     examples = 0
     for i, batch in enumerate(stream.batches(run_cfg.steps)):
-        loss_m.update(tr.train_step(batch)["loss"])
+        out = tr.train_step(batch)
+        if out["loss"] is not None:  # sharded trainer lags pipeline_depth
+            loss_m.update(out["loss"])
         examples += len(batch["label"])
         if (i + 1) % run_cfg.log_every == 0:
             logger.log(
@@ -273,6 +286,9 @@ def _train_group(args, run_cfg, tables, feature_map, model_cfg) -> int:
             )
         if args.ckpt_dir and args.ckpt_every and (i + 1) % args.ckpt_every == 0:
             tr.save_checkpoint(args.ckpt_dir)
+    if hasattr(tr, "flush"):
+        for _s, l in tr.flush():
+            loss_m.update(l)
     if args.ckpt_dir:
         tr.save_checkpoint(args.ckpt_dir)
     print(json.dumps({"final_auc": tr.auc.compute(), "steps": tr.step}))
@@ -743,9 +759,14 @@ def cmd_eval(args) -> int:
         return 0
     if grp is not None:
         # heterogeneous multi-table checkpoint (group.json layout)
-        from meepoembedding_tpu.group_train import GroupTrainer
+        if getattr(args, "distributed", False) and jax.device_count() > 1:
+            from meepoembedding_tpu.group_train import ShardedGroupTrainer
 
-        tr = GroupTrainer(*grp)
+            tr = ShardedGroupTrainer(*grp)
+        else:
+            from meepoembedding_tpu.group_train import GroupTrainer
+
+            tr = GroupTrainer(*grp)
     elif getattr(args, "distributed", False) and jax.device_count() > 1:
         from meepoembedding_tpu.parallel.trainer import ShardedTrainer
 
@@ -772,12 +793,17 @@ def cmd_eval(args) -> int:
         auc.update(np.asarray(logits), np.asarray(batch["label"]))
         losses.append(float(out["loss"]))
         n += len(np.asarray(batch["label"]))
-    print(json.dumps({
+    out = {
         "auc": float(auc.compute()),
         "mean_loss": float(np.mean(losses)) if losses else None,
         "examples": n,
         "batches": len(losses),
-    }))
+    }
+    # sharded eval: exchange-capacity overflows silently scored zero rows;
+    # surface the count so the reading is never trusted blind (VERDICT r2 #5)
+    if hasattr(tr, "eval_route_drops"):
+        out["eval_route_drops"] = int(tr.eval_route_drops)
+    print(json.dumps(out))
     return 0
 
 

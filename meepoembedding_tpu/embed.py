@@ -84,16 +84,29 @@ def lookup(
     """Dedup'd find-or-insert lookup. -> (shard, ctx, emb).
 
     hi/lo: i32 id halves (`table.hashing.split_ids`), any shape; `emb` comes
-    back as `hi.shape + (dim,)`. `unique_cap` bounds the dedup output size
-    (static; default = batch size, always lossless). With `train=False` no
-    insert/side-plane write happens (misses read zero rows; use for eval).
+    back as `hi.shape + (dim,)`, always float32 (for a bf16 table the rows
+    are widened — one documented dtype across every dim regime).
+
+    `unique_cap` bounds the dedup output size (static; default = batch size,
+    which is always lossless). WARNING: a cap SMALLER than the true unique
+    count silently aliases the overflow ids onto the last dedup slot — they
+    read each other's rows and their grads mix (dedup.unique_pairs). Only
+    pass a smaller cap when the stream's unique count is genuinely bounded;
+    `ctx.count == cap` after the fact means the cap was hit.
 
     CONTRACT: a `train=True` lookup must be paired with exactly one `update`
-    for the same ctx before the next lookup — zero grads are fine. Fresh
-    rows' initializer values are materialized by `update`'s single scatter
-    pass, not by `lookup` (XLA:TPU scatters rewrite the whole values plane,
-    so the fused path pays that pass once, in `update`). `lookup` itself
-    already returns the correct initializer rows in `emb`.
+    for the same ctx before the next lookup — zero grads are fine. The
+    mechanism differs by dim regime:
+    - dim <= 128 (window path): `lookup` registers fresh keys in the side
+      planes but leaves their VALUES rows zero; the initializer values land
+      in `update`'s single scatter pass (XLA:TPU scatters rewrite the whole
+      values plane, so the fused path pays that pass once). `emb` itself
+      already carries the correct initializer rows. An UNPAIRED train
+      lookup therefore leaves fresh keys registered with zero value rows —
+      the next lookup returns zeros for them, not the initializer. Use
+      `train=False` for lookups that will never be paired with an update.
+    - dim > 128: `find_or_insert` materializes initializer rows during
+      lookup; an unpaired lookup leaves the initializer values (benign).
     """
     batch_shape = hi.shape
     hi_f, lo_f = hi.reshape(-1), lo.reshape(-1)
@@ -115,7 +128,8 @@ def lookup(
             sub = jnp.zeros_like(slot)
             ctx = EmbedCtx(slot, pr.found, fresh, rows_u, sub,
                            uniq.inverse, uniq.count)
-            emb = rows_u[uniq.inverse]
+            # single public dtype: f32 in every dim regime (ADVICE r2)
+            emb = rows_u[uniq.inverse].astype(jnp.float32)
         return shard, ctx, emb.reshape(*batch_shape, spec.dim)
 
     if spec.dim <= 128:
@@ -133,7 +147,8 @@ def lookup(
         fresh = uniq.valid & ~found & (slot >= 0)
         ctx = EmbedCtx(slot, found, fresh, rows_u, jnp.zeros_like(slot),
                        uniq.inverse, uniq.count)
-        emb = rows_u[uniq.inverse]
+        # single public dtype: f32 in every dim regime (ADVICE r2)
+        emb = rows_u[uniq.inverse].astype(jnp.float32)
     return shard, ctx, emb.reshape(*batch_shape, spec.dim)
 
 

@@ -146,4 +146,6 @@ def test_bst_context_features_and_sharded():
             "dense": rng.normal(size=(B, ND)).astype(np.float32),
             "label": rng.integers(0, 2, size=B).astype(np.float32),
         })
-        assert np.isfinite(out["loss"])
+        # pipelined trainer: loss lags pipeline_depth steps (None while filling)
+        assert out["loss"] is None or np.isfinite(out["loss"])
+    assert all(np.isfinite(l) for _, l in tr.flush())

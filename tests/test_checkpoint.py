@@ -198,8 +198,8 @@ def test_sharded_trainer_checkpoint_elastic(tmp_path):
     e2 = tr2.eval_step(b)
     np.testing.assert_allclose(e1["loss"], e2["loss"], rtol=1e-4)
     # training continues
-    out = tr2.train_step(batch())
-    assert np.isfinite(out["loss"])
+    tr2.train_step(batch())
+    assert all(np.isfinite(l) for _, l in tr2.flush())
 
 
 def test_corrupt_save_never_clobbers(tmp_path):
@@ -319,3 +319,95 @@ def test_async_save_failure_surfaces_on_wait(tmp_path):
     tr.save_checkpoint(good, async_=True)
     tr.finish_saves()
     assert checkpoint.read_manifest(good)["step"] == tr.step
+
+
+# --- streamed part files (VERDICT r2 #7) ---------------------------------------
+
+def test_streamed_parts_and_resume(tmp_path, monkeypatch):
+    """Small chunk_rows forces multiple part files per shard; an interrupted
+    save (manifest never committed) resumes by SKIPPING existing parts, and a
+    resume against a changed table aborts."""
+    import os
+
+    monkeypatch.setenv("MEEPO_CKPT_CHUNK_ROWS", "128")
+    t, _ = _trained_table(n_ids=500)
+    before = _table_state(t)
+    path = str(tmp_path / "ck")
+    t.save(path)
+    m = checkpoint.read_manifest(path)
+    gdir = os.path.join(path, m["dir"])
+    parts = [f for f in os.listdir(gdir) if ".part" in f]
+    assert len(parts) >= 2, parts  # actually chunked
+    assert m["counts"][0] == len(before)
+
+    # roundtrip across the part boundary is still bit-exact
+    t2 = DynamicEmbeddingTable(t.cfg)
+    t2.load(path)
+    after = _table_state(t2)
+    assert set(after) == set(before)
+    for k in before:
+        np.testing.assert_array_equal(after[k][0], before[k][0])
+
+    # simulate an interrupted save of the NEXT step: pre-write two parts,
+    # then run the full save — the existing parts must be reused untouched
+    t.step += 1
+    gen2 = os.path.join(path, f"step-{t.step}")
+    os.makedirs(gen2)
+    checkpoint.save_shard_streamed(gen2, 0, t.spec, t.shard, 128)
+    names = sorted(f for f in os.listdir(gen2) if ".part" in f)
+    keep, drop = names[:2], names[2:]
+    for f in drop:
+        os.unlink(os.path.join(gen2, f))
+    mtimes = {f: os.path.getmtime(os.path.join(gen2, f)) for f in keep}
+    t.save(path)
+    for f, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(gen2, f)) == mt, (
+            f"resume rewrote an existing part: {f}"
+        )
+    t3 = DynamicEmbeddingTable(t.cfg)
+    t3.load(path)
+    assert _table_state(t3).keys() == before.keys()
+
+    # stale parts from a DIFFERENT table state must abort, not silently mix
+    t4, _ = _trained_table(n_ids=300, seed=9)
+    gen3 = os.path.join(path, "step-999")
+    os.makedirs(gen3)
+    checkpoint.save_shard_streamed(gen3, 0, t.spec, t.shard, 128)
+    with pytest.raises(RuntimeError, match="resume mismatch"):
+        checkpoint.save_shard_streamed(gen3, 0, t4.spec, t4.shard, 128)
+
+
+def test_bf16_checkpoint_stores_raw_bits(tmp_path):
+    """A bf16 table's values part files hold uint16 bit patterns (half the
+    bytes), and the decode widens to exactly the on-device values."""
+    import os
+
+    t, _ = _trained_table(n_ids=300, value_dtype="bfloat16")
+    before = _table_state(t)
+    path = str(tmp_path / "ck")
+    t.save(path)
+    m = checkpoint.read_manifest(path)
+    gdir = os.path.join(path, m["dir"])
+    f = checkpoint._shard_files(gdir, 0)[0]
+    with np.load(f) as z:
+        assert "values@bf16" in z.files, z.files
+        assert z["values@bf16"].dtype == np.uint16
+    t2 = DynamicEmbeddingTable(t.cfg)
+    t2.load(path)
+    after = _table_state(t2)
+    for k in before:
+        np.testing.assert_array_equal(after[k][0], before[k][0])
+
+
+def test_compressed_checkpoint_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setenv("MEEPO_CKPT_COMPRESS", "1")
+    t, _ = _trained_table(n_ids=300)
+    before = _table_state(t)
+    path = str(tmp_path / "ck")
+    t.save(path)
+    t2 = DynamicEmbeddingTable(t.cfg)
+    t2.load(path)
+    after = _table_state(t2)
+    assert set(after) == set(before)
+    for k in before:
+        np.testing.assert_array_equal(after[k][0], before[k][0])

@@ -117,4 +117,6 @@ def test_sharded_grad_clip_runs():
             "dense": rng.normal(size=(64, 3)).astype(np.float32),
             "label": rng.integers(0, 2, size=64).astype(np.float32),
         })
-        assert np.isfinite(out["loss"])
+        # pipelined trainer: loss lags pipeline_depth steps (None while filling)
+        assert out["loss"] is None or np.isfinite(out["loss"])
+    assert all(np.isfinite(l) for _, l in tr.flush())

@@ -235,7 +235,10 @@ def test_sharded_two_tower_learns():
     losses = []
     for _ in range(120):
         batch, _ = _pair_batch(rng, 32, 128)
-        losses.append(tr.train_step(batch)["loss"])
+        out = tr.train_step(batch)
+        if out["loss"] is not None:  # pipelined: lags pipeline_depth steps
+            losses.append(out["loss"])
+    losses += [l for _, l in tr.flush()]
     assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.35, (
         np.mean(losses[:10]), np.mean(losses[-10:])
     )
