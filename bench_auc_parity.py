@@ -27,7 +27,7 @@ def main():
 
     from meepoembedding_tpu.baseline import StaticEmbeddingTrainer
     from meepoembedding_tpu.config import (
-        ModelConfig, OptimizerConfig, RunConfig, TableConfig,
+        ModelConfig, OptimizerConfig, PolicyConfig, RunConfig, TableConfig,
     )
     from meepoembedding_tpu.data.criteo import (
         NUM_SPARSE, CriteoStream, write_synthetic_criteo_signal,
@@ -89,6 +89,63 @@ def main():
         )
         log("dynamic", results["dynamic"][-1])
 
+        # --- dynamic table with the FULL policy machinery ON -----------------
+        # (VERDICT r2 #3: the parity gate must also price the "dynamic" in
+        # dynamic table). Frequency admission, LFU+TTL eviction, disk spill +
+        # async promotion, and online growth from a deliberately undersized
+        # capacity all run against the same stream/seeds; the counters are
+        # asserted nonzero so a silently-disabled policy can't fake parity.
+        import tempfile as _tf
+
+        from meepoembedding_tpu.backends.disk_kv import DiskKVStore
+        from meepoembedding_tpu.parallel.mesh import make_mesh
+        from meepoembedding_tpu.parallel.trainer import ShardedTrainer
+        from meepoembedding_tpu.tiering import SpillCodec
+
+        table_pol = TableConfig(
+            dim=dim, capacity=1 << 16, grow_at_load=0.8,
+            optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.05),
+            policy=PolicyConfig(
+                admit_threshold=2, evict_policy="lfu_ttl", ttl_steps=60,
+                lfu_min_freq=2, max_evict_per_pass=1 << 14,
+            ),
+        )
+        from meepoembedding_tpu.table.layout import TableSpec
+
+        with _tf.TemporaryDirectory() as spill_dir:
+            spill = DiskKVStore(
+                SpillCodec(TableSpec.from_config(table_pol, num_shards=1)).width,
+                os.path.join(spill_dir, "spill.log"),
+            )
+            trp = ShardedTrainer(run, table_pol, model, mesh=make_mesh(1),
+                                 spill=spill)
+            it = data()
+            for i in range(train_steps):
+                trp.train_step(next(it))
+                if (i + 1) % 25 == 0:
+                    trp.maintenance()
+            trp.flush()
+            ev = StreamingAUC()
+            drops = 0
+            for _ in range(eval_steps):
+                b = next(it)
+                out = trp.eval_step(b)
+                ev.update(np.asarray(out["logits"]), np.asarray(b["label"]))
+                drops += out["route_drops"]
+            c = trp.counters()
+            row = {
+                "seed": seed, "train_auc": trp.auc.compute(),
+                "eval_auc": ev.compute(), "rows": len(trp),
+                "capacity": trp.spec.capacity, "eval_route_drops": drops,
+                **{k: c[k] for k in
+                   ("denied", "evictions", "spills", "promotes", "inserts")},
+            }
+            for k in ("denied", "evictions", "promotes"):
+                assert row[k] > 0, f"policy machinery idle: {k}=0 ({row})"
+            assert trp.spec.capacity > table_pol.capacity, "growth never fired"
+            results.setdefault("dynamic_policy", []).append(row)
+            log("dynamic_policy", row)
+
         # --- static fixed-vocab baseline ------------------------------------
         st = StaticEmbeddingTrainer(run, model, vocab_size=vocab, table_lr=0.05)
         it = data()
@@ -106,6 +163,7 @@ def main():
 
     d = np.array([r["eval_auc"] for r in results["dynamic"]])
     s = np.array([r["eval_auc"] for r in results["static"]])
+    p = np.array([r["eval_auc"] for r in results.get("dynamic_policy", [])])
     summary = {
         "metric": "criteo_format_eval_auc_dynamic_vs_static",
         "dynamic_mean": round(float(d.mean()), 5),
@@ -116,6 +174,13 @@ def main():
         "parity": bool(abs(d.mean() - s.mean()) <= 2 * max(s.std(), 1e-4) + 1e-3),
         "runs": results,
     }
+    if len(p):
+        summary["dynamic_policy_mean"] = round(float(p.mean()), 5)
+        summary["dynamic_policy_std"] = round(float(p.std()), 5)
+        summary["policy_delta_vs_static"] = round(float(p.mean() - s.mean()), 5)
+        summary["policy_parity"] = bool(
+            abs(p.mean() - s.mean()) <= 2 * max(s.std(), 1e-4) + 1e-3
+        )
     print(json.dumps(summary))
 
 

@@ -125,10 +125,12 @@ def main():
         gc.collect()
         return min(windows), windows
 
-    def run_sharded():
+    def run_sharded(force_exchange=False):
+        from meepoembedding_tpu.parallel import sharded_table as st
         from meepoembedding_tpu.parallel.mesh import make_mesh
         from meepoembedding_tpu.parallel.trainer import ShardedTrainer
 
+        st.FORCE_EXCHANGE = force_exchange
         tr = ShardedTrainer(run, table, model, mesh=make_mesh(S))
         t0 = time.perf_counter()
         for b in pre_batches:
@@ -164,26 +166,35 @@ def main():
             float(losses[-1])
             windows.append((time.perf_counter() - t0) / steps)
         drops = tr.counters()["route_drops"]
+        st.FORCE_EXCHANGE = False
         del tr, dev
         gc.collect()
         return min(windows), windows, drops
 
     fused_ms, fw = run_fused()
     sharded_ms, sw, drops = run_sharded()
-    log(f"fused:   {fused_ms*1e3:8.2f} ms/step  "
+    log(f"fused:            {fused_ms*1e3:8.2f} ms/step  "
         f"[{','.join(f'{w*1e3:.0f}' for w in fw)}]")
-    log(f"sharded: {sharded_ms*1e3:8.2f} ms/step  "
+    log(f"sharded (S=1 fast path): {sharded_ms*1e3:8.2f} ms/step  "
         f"[{','.join(f'{w*1e3:.0f}' for w in sw)}]  route_drops={drops}")
-    overhead = sharded_ms / fused_ms - 1.0
-    print(json.dumps({
+    out = {
         "metric": "sharded_step_overhead_vs_fused",
         "devices": S,
         "ids_per_step": ids_per_step,
         "fused_ms": round(fused_ms * 1e3, 2),
         "sharded_ms": round(sharded_ms * 1e3, 2),
-        "overhead": round(overhead, 4),
+        "overhead": round(sharded_ms / fused_ms - 1.0, 4),
         "route_drops": int(drops),
-    }))
+    }
+    if S == 1:
+        # price the exchange machinery itself: routing sort + send-buffer
+        # scatter + a2a + owner re-dedup + emb re-gather, sans real ICI
+        ex_ms, ew, ex_drops = run_sharded(force_exchange=True)
+        log(f"sharded (forced exchange): {ex_ms*1e3:8.2f} ms/step  "
+            f"[{','.join(f'{w*1e3:.0f}' for w in ew)}]  route_drops={ex_drops}")
+        out["exchange_forced_ms"] = round(ex_ms * 1e3, 2)
+        out["exchange_overhead"] = round(ex_ms / fused_ms - 1.0, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -684,4 +684,16 @@ def restore_shards(
                     jnp.int32(step), pick(data["freq"]), pick(data["last"]),
                     accum, fulldim,
                 )
+                lost = int(jnp.sum(valid & ~ok))
+                if lost:
+                    # never silently truncate a checkpoint: a restore target
+                    # smaller than the saved live set is a config error
+                    raise RuntimeError(
+                        f"restore dropped {lost} rows on shard {s}: the "
+                        f"target capacity ({spec.capacity}/shard x "
+                        f"{num_shards}) cannot hold the checkpoint's "
+                        f"{sum(m.get('counts', []))} live rows — raise "
+                        f"table.capacity (or set table.grow_at_load so the "
+                        f"trainer pre-grows on load)"
+                    )
     return shards, m

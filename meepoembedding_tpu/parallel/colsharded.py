@@ -108,6 +108,10 @@ def addressable_shard_trees2(stacked) -> dict:
             key = (int(s0), int(c0))
             my.add(key)
             shard_data[li][key] = np.asarray(sh.data)[0, 0]
+    if not my and leaves and leaves[0].shape[0] == 1 and leaves[0].shape[1] == 1:
+        # 1x1 mesh: the single shard reports full-axis slices (see
+        # trainer.addressable_shard_trees)
+        my = {(0, 0)}
     out = {}
     for key in sorted(my):
         vals = []
@@ -286,6 +290,13 @@ class ColShardedTrainer:
         self.opt_state = jax.device_put(optim.dense_adam_init(self.params), rep)
         self.step = 0
         self.auc = StreamingAUC()
+        from collections import deque
+
+        # same host-fetch lag discipline as ShardedTrainer (pipeline_depth)
+        self.pipeline_depth = max(0, run_cfg.pipeline_depth)
+        self._pending: "deque" = deque()
+        self._last = {"loss": None, "retired_step": None, "route_drops": 0}
+        self._live_upper = 0
         per_dev_ids = run_cfg.batch_size // self.S * model_cfg.num_sparse_features
         self.unique_cap = run_cfg.unique_cap or per_dev_ids
         self._auto_ucap = run_cfg.unique_cap is None
@@ -333,12 +344,17 @@ class ColShardedTrainer:
         planes, so columns stay in lockstep without any collective."""
         if self.table_cfg.grow_at_load is None:
             return
+        # host-side upper bound gates the device fetch (see ShardedTrainer)
+        limit = self.table_cfg.grow_at_load * self.spec.capacity * self.S
+        self._live_upper += incoming
+        if self._live_upper <= limit:
+            return
         while True:
             # cnt is replicated across columns; sum over everything / C
             live = int(self._replicated(jnp.sum, self.stacked.cnt)) // self.C
-            if (live + incoming) <= (
-                self.table_cfg.grow_at_load * self.spec.capacity * self.S
-            ):
+            limit = self.table_cfg.grow_at_load * self.spec.capacity * self.S
+            if (live + incoming) <= limit:
+                self._live_upper = live + incoming
                 return
             self.grow()
 
@@ -375,6 +391,18 @@ class ColShardedTrainer:
             jnp.int32(self.step),
         )
         self.step += 1
+        self._pending.append({
+            "step": self.step - 1, "loss": loss, "drops": drops,
+            "logits": logits, "labels": np.asarray(batch["label"]),
+        })
+        while len(self._pending) > self.pipeline_depth:
+            self._retire(self._pending.popleft())
+        return dict(self._last, in_flight=len(self._pending))
+
+    def _retire(self, ent: dict) -> None:
+        """Host-side consumption of a completed step (lagged; never stalls
+        the device pipeline — see ShardedTrainer._retire)."""
+        logits = ent["logits"]
         # AUC over THIS process's slice: logits are replicated across the
         # column axis, so dedup addressable shards by batch-row start
         by_start = {}
@@ -382,8 +410,20 @@ class ColShardedTrainer:
             st0 = sh.index[0].start
             by_start.setdefault(0 if st0 is None else int(st0), np.asarray(sh.data))
         local_logits = np.concatenate([by_start[k] for k in sorted(by_start)])
-        self.auc.update(local_logits, np.asarray(batch["label"]))
-        return {"loss": float(loss), "route_drops": int(drops)}
+        self.auc.update(local_logits, ent["labels"])
+        self._last = {
+            "loss": float(ent["loss"]),
+            "retired_step": ent["step"],
+            "route_drops": int(ent["drops"]),
+        }
+
+    def flush(self) -> list:
+        """Retire every in-flight step; returns (step, loss) pairs."""
+        out = []
+        while self._pending:
+            self._retire(self._pending.popleft())
+            out.append((self._last["retired_step"], self._last["loss"]))
+        return out
 
     def eval_step(self, batch: dict) -> dict:
         self._maybe_grow_ucap(np.asarray(batch["ids"]))
@@ -394,6 +434,7 @@ class ColShardedTrainer:
         return {"loss": float(loss), "logits": logits}
 
     def maintenance(self) -> dict:
+        self.flush()
         """Eviction tick for the 2-D layout (capacity control; SURVEY.md
         §3.4). evict_pass is a pure function of the key/score planes, which
         are identical across columns, so column shards evict the SAME rows in
@@ -482,6 +523,7 @@ class ColShardedTrainer:
         return jax.jit(fn, out_shardings=NamedSharding(self.mesh, P()))(*arrs)
 
     def counters(self) -> dict:
+        self.flush()
         # counters are identical across columns (lockstep): column 0, sum rows
         c = np.asarray(
             self._replicated(lambda a: jnp.sum(a[:, 0], axis=0), self.stacked.counters)

@@ -37,6 +37,11 @@ from meepoembedding_tpu.table.xla_ops import _segmented_rank
 
 ROUTE_DROPS = 8  # counters index (extends layout counter names)
 
+# Testing/benchmarking hook: run the full routing + a2a + owner-side
+# re-dedup machinery even on a 1-shard mesh (bench_sharded_overhead.py
+# uses it to price the exchange without multi-chip hardware).
+FORCE_EXCHANGE = False
+
 
 def a2a_capacity(unique_cap: int, num_shards: int, factor: float = 1.25) -> int:
     """Static per-(src,dst) buffer size. factor >= num_shards is lossless.
@@ -109,6 +114,36 @@ def exchange_lookup(
     """Sharded find_or_insert + gather for local unique ids.
     Returns (shard', emb_u [U, dim], ctx for the gradient reverse path)."""
     S = lax.axis_size(axis)
+    if S == 1 and not FORCE_EXCHANGE:
+        # single-shard mesh: every id is locally owned and already deduped —
+        # skip routing, the a2a (XLA would lower it to copies, but the
+        # send-buffer scatter, owner re-dedup sort, and emb re-gather are
+        # real work), and run exactly the fused single-device hot path. This
+        # keeps a 1-chip deployment of the distributed trainer at the fused
+        # step's speed (bench_sharded_overhead.py measures both variants).
+        n = uh.shape[0]
+        ar = jnp.arange(n, dtype=jnp.int32)
+        zero = jnp.zeros((n,), jnp.int32)
+        if train and spec.dim <= 128:
+            shard, lctx = xla_ops.lookup_train(spec, shard, uh, ul, valid, step)
+            found = lctx.found
+            emb_u = xla_ops.window_extract(spec, lctx.g128, lctx.sub).astype(spec.dtype)
+        elif train:
+            shard, slot, found = xla_ops.find_or_insert(
+                spec, shard, uh, ul, valid, step
+            )
+            lctx = slot
+            emb_u = xla_ops.lookup_rows(spec, shard, slot).astype(spec.dtype)
+        else:
+            pr = xla_ops.probe(spec, shard, uh, ul, valid)
+            slot = jnp.where(pr.found, pr.slot, -1)
+            found = pr.found
+            lctx = slot
+            emb_u = xla_ops.lookup_rows(spec, shard, slot).astype(spec.dtype)
+        return shard, emb_u, RouteCtx(
+            owner=zero, pos=ar, ok=valid, lctx=lctx, inverse=ar,
+            miss_hi=uh, miss_lo=ul, miss=valid & ~found,
+        )
     owner, pos, ok = _route(uh, ul, valid, S, cap)
 
     o = jnp.where(ok, owner, S)
@@ -161,6 +196,19 @@ def exchange_apply_grads(
     one in-place optimizer update (SURVEY.md §3.3). `g2_mean` threads to
     optim.apply_sparse_grads_ctx (column-sharded rowwise accumulator)."""
     S = lax.axis_size(axis)
+    if S == 1 and not FORCE_EXCHANGE:
+        # single-shard fast path (see exchange_lookup): g_u is already
+        # per-unique and locally owned — no a2a, no owner-side segment-sum
+        if spec.dim <= 128 and not isinstance(ctx.lctx, jax.Array):
+            g_win = xla_ops.window_place(
+                spec, g_u.astype(jnp.float32), ctx.lctx.sub
+            )
+            return optim.apply_sparse_grads_ctx(
+                spec, shard, ctx.lctx, g_win, g2_mean=g2_mean
+            )
+        return optim.apply_sparse_grads(
+            spec, shard, ctx.lctx, g_u.astype(jnp.float32)
+        )
     o = jnp.where(ctx.ok, ctx.owner, S)
     # Gradients ride the wire in the TABLE dtype: a bf16 table's update math
     # quantizes to bf16 on write anyway, so shipping f32 grads would spend
@@ -200,6 +248,14 @@ def exchange_erase(
     `removed` the GLOBAL count (psum; each key is erased on exactly one
     owner, so the sum is exact)."""
     S = lax.axis_size(axis)
+    if S == 1 and not FORCE_EXCHANGE:
+        # single shard: just dedup locally (callers may pass duplicate sets;
+        # invalid/EMPTY entries come out of the dedup marked invalid)
+        runiq = dedup.unique_pairs(uh, ul, size=uh.shape[0])
+        shard, found = xla_ops.erase_keys(
+            spec, shard, runiq.hi, runiq.lo, runiq.valid
+        )
+        return shard, jnp.sum(found).astype(jnp.int32)
     owner, pos, ok = _route(uh, ul, valid, S, cap)
     o = jnp.where(ok, owner, S)
     rhi, rlo = _a2a_ids(uh, ul, o, pos, S, cap, axis)

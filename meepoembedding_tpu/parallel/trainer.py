@@ -52,6 +52,11 @@ def addressable_shard_trees(stacked) -> dict:
             i = int(start)
             my_ids.add(i)
             shard_data[li][i] = np.asarray(sh.data)[0]
+    if not my_ids and leaves and leaves[0].shape[0] == 1:
+        # a 1-shard mesh: XLA reports the single shard as a full-axis slice
+        # (start None), which the loop above reads as "replicated" — but a
+        # size-1 axis IS shard 0
+        my_ids = {0}
     out = {}
     for i in sorted(my_ids):
         vals = []
@@ -695,8 +700,31 @@ class ShardedTrainer:
     def load_checkpoint(self, path: str) -> dict:
         """Elastic restore: a checkpoint written with N shards loads onto this
         trainer's S devices; every key is rehashed to its new owner shard.
-        Multi-process safe: each process materializes only its own shards."""
+        Multi-process safe: each process materializes only its own shards.
+        A growable table (grow_at_load set) pre-grows to fit the checkpoint's
+        live set; a fixed-capacity table that can't hold it raises (the
+        restore never silently drops rows)."""
+        import dataclasses
+
         from meepoembedding_tpu import checkpoint
+
+        total = sum(checkpoint.read_manifest(path).get("counts", [0]))
+        grew = False
+        while (
+            self.table_cfg.grow_at_load is not None
+            and total > self.table_cfg.grow_at_load * self.spec.capacity * self.S
+        ):
+            self.table_cfg = dataclasses.replace(
+                self.table_cfg, capacity=self.table_cfg.capacity * 2
+            )
+            self.spec = TableSpec.from_config(self.table_cfg, num_shards=self.S)
+            grew = True
+        if grew:
+            self.stacked = alloc_stacked_shards(self.spec, self.mesh)
+            self._erase_fns = {}
+            self._promote_fn = None
+            self._build_step_fns()
+            self._live_upper = 0
 
         sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
         my_ids = sorted(

@@ -347,8 +347,23 @@ class DynamicEmbeddingTable:
 
     def load(self, path: str) -> dict:
         """Restore from a checkpoint written with ANY shard count (rows are
-        rehashed into this table). Replaces current contents."""
+        rehashed into this table). Replaces current contents. A growable
+        table pre-grows to fit the checkpoint's live set; a fixed-capacity
+        table that can't hold it raises in restore_shards (no silent drop)."""
+        import dataclasses
+
         from meepoembedding_tpu import checkpoint
+
+        total = sum(checkpoint.read_manifest(path).get("counts", [0]))
+        while (
+            self.cfg.grow_at_load is not None
+            and total > self.cfg.grow_at_load * self.spec.capacity
+        ):
+            self.cfg = dataclasses.replace(
+                self.cfg, capacity=self.cfg.capacity * 2
+            )
+            self.spec = TableSpec.from_config(self.cfg, num_shards=1)
+            # jitted helpers key on the (static) spec, so caches self-refresh
 
         shards, manifest = checkpoint.restore_shards(self.spec, path, 1)
         self.shard = shards[0]

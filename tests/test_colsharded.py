@@ -40,7 +40,7 @@ def test_lane_offset_init_tiles_full_dim_exactly(rng):
 
 
 def _cfgs(dim):
-    run = RunConfig(batch_size=128, steps=6, dense_learning_rate=3e-3, seed=5)
+    run = RunConfig(pipeline_depth=0, batch_size=128, steps=6, dense_learning_rate=3e-3, seed=5)
     table = TableConfig(
         dim=dim, capacity=1 << 14, initializer_scale=0.02,
         optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.05),
@@ -191,7 +191,7 @@ def test_colsharded_eviction_lockstep(mesh2x2):
 def test_colsharded_multihot(mesh2x2):
     """Multi-hot bags through the 2-D (row x dim) trainer: pooled lookups
     train without drops and logits stay finite."""
-    run = RunConfig(batch_size=256, steps=4, dense_learning_rate=3e-3)
+    run = RunConfig(pipeline_depth=0, batch_size=256, steps=4, dense_learning_rate=3e-3)
     table = TableConfig(dim=16, capacity=1 << 13)
     model = ModelConfig(
         kind="ctr_mlp", num_dense_features=4, num_sparse_features=4,
@@ -202,7 +202,7 @@ def test_colsharded_multihot(mesh2x2):
         num_dense=4, num_sparse=4, batch_size=256, vocab_per_feature=500,
         bag_len=3,
     )
-    run = RunConfig(batch_size=256, steps=4, dense_learning_rate=3e-3,
+    run = RunConfig(pipeline_depth=0, batch_size=256, steps=4, dense_learning_rate=3e-3,
                     unique_cap=256 // mesh2x2.shape["d"] * 4 * 3)
     tr = ColShardedTrainer(run, table, model, mesh=mesh2x2)
     for batch in SyntheticStream(data).batches(run.steps):
@@ -217,7 +217,7 @@ def test_colsharded_online_growth(mesh2x2):
     """2-D growth: each (row, col) shard doubles locally; key planes stay
     lockstep across columns (slot planning is deterministic in the keys),
     no id ever drops, training continues after regrowth."""
-    run = RunConfig(batch_size=128, steps=4, dense_learning_rate=3e-3)
+    run = RunConfig(pipeline_depth=0, batch_size=128, steps=4, dense_learning_rate=3e-3)
     table = TableConfig(dim=16, capacity=1 << 11, grow_at_load=0.7)
     model = ModelConfig(
         kind="ctr_mlp", num_dense_features=4, num_sparse_features=4,

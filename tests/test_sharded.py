@@ -344,3 +344,30 @@ def test_eval_step_reports_route_drops(mesh):
     tr2 = ShardedTrainer(run2, table, model, mesh=mesh)
     out2 = tr2.eval_step(next(SyntheticStream(data2).batches(1)))
     assert out2["route_drops"] == 0
+
+
+def test_single_device_mesh_grow_and_checkpoint(tmp_path):
+    """S=1 mesh regression: XLA reports the single shard as a full-axis
+    slice, which addressable_shard_trees used to read as 'replicated' —
+    growth and checkpointing must work on a 1-device mesh (that is the
+    TPU-v5e-single-chip deployment of the distributed trainer)."""
+    run = RunConfig(batch_size=64, steps=3, pipeline_depth=0)
+    table = TableConfig(dim=8, capacity=1 << 10, grow_at_load=0.8)
+    model = ModelConfig(
+        kind="ctr_mlp", num_dense_features=3, num_sparse_features=4,
+        embedding_dim=8, bottom_mlp=(16, 8), top_mlp=(16, 1),
+    )
+    tr = ShardedTrainer(run, table, model, mesh=make_mesh(1))
+    rng = np.random.default_rng(0)
+    for _ in range(6):
+        tr.train_step({
+            "ids": rng.integers(0, 5000, size=(64, 4)).astype(np.int64),
+            "dense": rng.normal(size=(64, 3)).astype(np.float32),
+            "label": rng.integers(0, 2, size=64).astype(np.float32),
+        })
+    assert tr.spec.capacity > 1 << 10  # grew
+    assert len(tr) > 800
+    tr.save_checkpoint(str(tmp_path / "ck"))
+    tr2 = ShardedTrainer(run, table, model, mesh=make_mesh(1))
+    tr2.load_checkpoint(str(tmp_path / "ck"))
+    assert len(tr2) == len(tr)
