@@ -98,6 +98,12 @@ def main():
                for h, l in batches]
     jax.block_until_ready(batches)
 
+    # Fetch cadence: a host fetch over the tunneled device costs ~30 ms of
+    # WALL time (synchronous RTT), so fetching every step floors any variant
+    # under ~30 ms/step at the RTT, not its compute. Fetch every F steps
+    # (the fetch still lags d steps, keeping <= d+F transients in flight).
+    F = int(os.environ.get("MEEPO_BENCH_FETCH_EVERY", 4))
+
     def timed(name, fn, donate_shard):
         """fn(shard, hi, lo, step) -> (shard, scalar). Windowed, fetch barrier."""
         nonlocal shard
@@ -114,7 +120,7 @@ def main():
                 if donate_shard:
                     shard = sh
                 accs.append(acc)
-                if i >= d:
+                if i >= d and (i % F == 0):
                     float(accs[i - d])
             float(accs[-1])
             windows.append((time.perf_counter() - t0) / steps)
@@ -232,7 +238,7 @@ def main():
                 values_new, acc = fn(values, s, None, jnp.int32(i))
                 values = values_new
                 accs.append(acc)
-                if i >= d:
+                if i >= d and (i % F == 0):
                     float(accs[i - d])
             float(accs[-1])
             windows.append((time.perf_counter() - t0) / steps)

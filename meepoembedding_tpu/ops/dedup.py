@@ -93,6 +93,29 @@ def sorted_segment_sum(values: jax.Array, seg: jax.Array, num_segments: int) -> 
     )
 
 
+def prefix_sum_i32(x: jax.Array) -> jax.Array:
+    """Inclusive prefix sum of an i32 [n] stream (n a multiple of 128; pad
+    otherwise) via two MXU triangular matmuls instead of `jnp.cumsum`, which
+    XLA:TPU lowers to a ~7 ms log-pass chain at n=512K (measured; this path:
+    5.2 ms). Rows of [n/128, 128] cumsum on the MXU; row totals cumsum the
+    same way at n/128; exact in f32 for totals < 2^24 (flag streams)."""
+    n = x.shape[0]
+    if n % 128 or n < 128:
+        pad = -(-n // 128) * 128 - n
+        return prefix_sum_i32(jnp.pad(x, (0, pad)))[:n]
+    tri = jnp.tril(jnp.ones((128, 128), jnp.float32))
+    rows = x.reshape(-1, 128).astype(jnp.float32)
+    # HIGHEST: exact f32 accumulation (TPU default matmul precision is bf16
+    # inputs, which would corrupt prefix totals past 256)
+    within = jax.lax.dot(rows, tri.T, precision=jax.lax.Precision.HIGHEST)
+    totals = within[:, -1]
+    m = totals.shape[0]
+    if m > 1:
+        offs = prefix_sum_i32(totals.astype(jnp.int32)).astype(jnp.float32) - totals
+        within = within + offs[:, None]
+    return within.reshape(-1).astype(jnp.int32)
+
+
 def unique_pairs(hi: jax.Array, lo: jax.Array, size: int) -> Unique:
     """Deduplicate id pairs to static capacity `size`.
 
@@ -103,10 +126,16 @@ def unique_pairs(hi: jax.Array, lo: jax.Array, size: int) -> Unique:
     If the true unique count exceeds `size`, the overflow ids alias the last
     slot (counted, never out-of-bounds) — callers size `size` to the batch.
 
-    ONE multi-operand `lax.sort` carries (hi, lo, position) through a 2-key
-    lexicographic sort (jnp.lexsort + post-gathers costs 2 extra stable sorts
-    and three serialized 1-D gathers); the inverse permutation comes from a
-    unique-index 1-D scatter instead of a second argsort."""
+    Every O(n) step is expressed as a SORT or an MXU matmul — no 1-D
+    scatters, no `jnp.cumsum` (all measured 7+ ms each at n=512K on v5e,
+    more than the 6 ms 5-operand sort itself):
+      1. one multi-operand lexicographic sort groups duplicates;
+      2. group ids come from an MXU 2-level prefix sum of the run flags;
+      3. the inverse permutation is a second 2-operand sort by `order`
+         (4.9 ms vs the 7 ms unique-index 1-D scatter);
+      4. the unique keys compact by a stable 3-operand flag sort: run
+         starts (flag 0) float to the front IN ID ORDER, then slice [:size]
+         (5.6 ms vs two 7 ms 1-D scatters for hi and lo)."""
     n = hi.shape[0]
     with jax.named_scope("meepo.dedup"):
         # Bias keys for unsigned comparison of two's-complement halves;
@@ -122,19 +151,19 @@ def unique_pairs(hi: jax.Array, lo: jax.Array, size: int) -> Unique:
         is_new = jnp.concatenate(
             [jnp.ones((1,), bool), (sbh[1:] != sbh[:-1]) | (sbl[1:] != sbl[:-1])]
         )
-        gid0 = jnp.cumsum(is_new).astype(jnp.int32) - 1  # group id, sorted order
+        gid0 = prefix_sum_i32(is_new.astype(jnp.int32)) - 1  # group id, sorted
+        num_runs = gid0[-1] + 1
         gid = jnp.minimum(gid0, size - 1)  # overflow aliases the last slot
-        # inverse[order[j]] = gid[j]: one unique-index 1-D scatter
-        inverse = jnp.zeros((n,), jnp.int32).at[order].set(gid, unique_indices=True)
-        # write each group's key at its first occurrence only (unique indices;
-        # overflow groups beyond `size` are dropped, not aliased-by-UB)
-        first_idx = jnp.where(is_new & (gid0 < size), gid0, size)
-        uh = jnp.full((size,), hashing.EMPTY_HI, jnp.int32).at[first_idx].set(
-            sh, mode="drop", unique_indices=True
-        )
-        ul = jnp.full((size,), hashing.EMPTY_LO, jnp.int32).at[first_idx].set(
-            sl, mode="drop", unique_indices=True
-        )
+        # inverse[order[j]] = gid[j]: invert the permutation by sorting the
+        # (order, gid) pairs back into input order (keys are distinct)
+        _, inverse = jax.lax.sort((order, gid), num_keys=1, is_stable=False)
+        # compact each run's first occurrence: stable flag sort floats run
+        # starts to the front, preserving their (already sorted) id order
+        tag = jnp.where(is_new, jnp.int32(0), jnp.int32(1))
+        _, ch, cl = jax.lax.sort((tag, sh, sl), num_keys=1, is_stable=True)
+        keep = jnp.arange(size, dtype=jnp.int32) < num_runs
+        uh = jnp.where(keep, ch[:size], hashing.EMPTY_HI)
+        ul = jnp.where(keep, cl[:size], hashing.EMPTY_LO)
         valid = hashing.is_valid(uh, ul)
         count = jnp.sum(valid).astype(jnp.int32)
         return Unique(hi=uh, lo=ul, inverse=inverse, valid=valid, count=count)
