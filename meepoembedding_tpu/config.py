@@ -67,6 +67,11 @@ class PolicyConfig:
     lfu_min_freq: int = 0
     max_evict_per_pass: int = 1 << 14
     cms_width: int = 1 << 15
+    # Buckets scanned per evict pass (rotating window; None = whole table).
+    # At 2^27 capacity the full-plane candidate scan measured ~1.2 s on a
+    # v5e; a 2^13-bucket window visits the whole table every nb/K ticks at
+    # ~K/nb of that cost. Trainers rotate the cursor automatically.
+    evict_scan_buckets: Optional[int] = None
 
     def __post_init__(self):
         assert self.cms_width % LANES == 0, "cms_width must be a multiple of 128"

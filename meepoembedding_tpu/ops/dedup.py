@@ -161,6 +161,9 @@ def unique_pairs(hi: jax.Array, lo: jax.Array, size: int) -> Unique:
         # starts to the front, preserving their (already sorted) id order
         tag = jnp.where(is_new, jnp.int32(0), jnp.int32(1))
         _, ch, cl = jax.lax.sort((tag, sh, sl), num_keys=1, is_stable=True)
+        if size > n:  # cap can exceed the batch (e.g. caller-chosen caps)
+            ch = jnp.pad(ch, (0, size - n), constant_values=hashing.EMPTY_HI)
+            cl = jnp.pad(cl, (0, size - n), constant_values=hashing.EMPTY_LO)
         keep = jnp.arange(size, dtype=jnp.int32) < num_runs
         uh = jnp.where(keep, ch[:size], hashing.EMPTY_HI)
         ul = jnp.where(keep, cl[:size], hashing.EMPTY_LO)

@@ -448,17 +448,19 @@ class ColShardedTrainer:
         spec_l = self.spec_local
         sp2 = P(SHARD_AXIS, COL_AXIS)
         evict = jax.shard_map(
-            lambda stacked, step: jax.tree.map(
+            lambda stacked, step, off: jax.tree.map(
                 lambda a: a[None, None],
-                xla_ops.evict_pass(spec_l, _squeeze2(stacked), step),
+                xla_ops.evict_pass(spec_l, _squeeze2(stacked), step, off),
             ),
             mesh=self.mesh,
-            in_specs=(sp2, P()),
+            in_specs=(sp2, P(), P()),
             out_specs=sp2,
             check_vma=False,
         )
+        off = getattr(self, "_evict_cursor", 0)
+        self._evict_cursor = xla_ops.next_evict_cursor(spec_l, off)
         self.stacked, export = jax.jit(evict, donate_argnums=(0,))(
-            self.stacked, jnp.int32(self.step)
+            self.stacked, jnp.int32(self.step), jnp.int32(off)
         )
         evicted = int(
             self._replicated(

@@ -649,17 +649,21 @@ class ShardedTrainer:
         if self.spec.policy.evict_policy == "none":
             return {"evicted": 0, "promoted": promoted}
         evict = jax.shard_map(
-            lambda stacked, step: jax.tree.map(
+            lambda stacked, step, off: jax.tree.map(
                 lambda a: a[None],
-                xla_ops.evict_pass(self.spec, st.squeeze_shard(stacked), step),
+                xla_ops.evict_pass(
+                    self.spec, st.squeeze_shard(stacked), step, off
+                ),
             ),
             mesh=self.mesh,
-            in_specs=(P(SHARD_AXIS), P()),
+            in_specs=(P(SHARD_AXIS), P(), P()),
             out_specs=P(SHARD_AXIS),
             check_vma=False,
         )
+        off = getattr(self, "_evict_cursor", 0)
+        self._evict_cursor = xla_ops.next_evict_cursor(self.spec, off)
         self.stacked, export = jax.jit(evict, donate_argnums=(0,))(
-            self.stacked, jnp.int32(self.step)
+            self.stacked, jnp.int32(self.step), jnp.int32(off)
         )
         # spill only THIS process's shards (multi-process safe host reads)
         local = addressable_shard_trees(export)

@@ -93,8 +93,8 @@ def _apply_grads(spec, shard, ctx_or_slot, inverse, grads):
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-def _evict(spec, shard, step):
-    return xla_ops.evict_pass(spec, shard, step)
+def _evict(spec, shard, step, off):
+    return xla_ops.evict_pass(spec, shard, step, off)
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
@@ -308,7 +308,11 @@ class DynamicEmbeddingTable:
     def evict(self) -> int:
         """Run one eviction sweep; spilled rows (value + optimizer state) go
         to the cold tier. Returns the number of evicted rows (SURVEY.md §3.4)."""
-        self.shard, export = _evict(self.spec, self.shard, jnp.int32(self.step))
+        off = getattr(self, "_evict_cursor", 0)
+        self._evict_cursor = xla_ops.next_evict_cursor(self.spec, off)
+        self.shard, export = _evict(
+            self.spec, self.shard, jnp.int32(self.step), jnp.int32(off)
+        )
         n = int(export.count)
         if n and self.spill is not None:
             from meepoembedding_tpu.tiering import spill_export

@@ -226,9 +226,11 @@ class Trainer:
         Spilled payloads carry the full row state (value+freq+optimizer)."""
         if self.spec.policy.evict_policy == "none":
             return {"evicted": 0}
+        off = getattr(self, "_evict_cursor", 0)
+        self._evict_cursor = xla_ops.next_evict_cursor(self.spec, off)
         self.shard, export = jax.jit(
             xla_ops.evict_pass, static_argnums=(0,), donate_argnums=(1,)
-        )(self.spec, self.shard, jnp.int32(self.step))
+        )(self.spec, self.shard, jnp.int32(self.step), jnp.int32(off))
         n = int(export.count)
         if n and self.spill is not None:
             from meepoembedding_tpu.tiering import SpillCodec, spill_export

@@ -559,13 +559,18 @@ model: {num_dense_features: 4, top_mlp: [16, 1]}
     ev = json.loads(out.stdout.strip().splitlines()[-1])
     assert 0.0 <= ev["auc"] <= 1.0 and ev["examples"] > 0
 
-    # guards: --distributed and --set table.* are rejected up front
+    # --distributed routes to ShardedGroupTrainer (r3): trains and writes a
+    # sharded per-table checkpoint with the same group.json layout
+    env_mesh = dict(env, XLA_FLAGS="--xla_force_host_platform_device_count=2")
     out = subprocess.run(
         [sys.executable, "-m", "meepoembedding_tpu", "train",
-         "--config", str(cfg), "--data", "synthetic", "--distributed"],
-        capture_output=True, text=True, timeout=600, env=env,
+         "--config", str(cfg), "--data", "synthetic", "--distributed",
+         "--ckpt-dir", str(tmp_path / "gck-sharded")],
+        capture_output=True, text=True, timeout=600, env=env_mesh,
     )
-    assert out.returncode != 0 and "single-device" in out.stderr
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert json.loads(out.stdout.strip().splitlines()[-1])["steps"] == 5
+    assert (tmp_path / "gck-sharded" / "group.json").exists()
     out = subprocess.run(
         [sys.executable, "-m", "meepoembedding_tpu", "train",
          "--config", str(cfg), "--data", "synthetic",

@@ -78,3 +78,26 @@ def test_disjoint_combine_negative_zero_exact():
     np.testing.assert_array_equal(
         np.asarray(tot[1]), np.array([0.0, 0.0, -1.0, 0.0], np.float32)
     )
+
+
+def test_unique_pairs_cap_larger_than_batch():
+    """size > n must pad, not break (regression: the r3 sort-compaction
+    sliced ch[:size] past the batch length)."""
+    import jax.numpy as jnp
+
+    from meepoembedding_tpu.ops.dedup import unique_pairs
+    from meepoembedding_tpu.table import hashing
+
+    ids = np.array([5, 7, 5, 9], np.int64)
+    hi, lo = hashing.split_ids(ids)
+    u = unique_pairs(jnp.asarray(hi), jnp.asarray(lo), size=16)
+    assert int(u.count) == 3
+    got = sorted(hashing.join_ids(
+        np.asarray(u.hi)[np.asarray(u.valid)], np.asarray(u.lo)[np.asarray(u.valid)]
+    ).tolist())
+    assert got == [5, 7, 9]
+    back = hashing.join_ids(
+        np.asarray(u.hi)[np.asarray(u.inverse)],
+        np.asarray(u.lo)[np.asarray(u.inverse)],
+    )
+    np.testing.assert_array_equal(back, ids)

@@ -257,3 +257,40 @@ def test_sharded_trainer_spills_full_state(rng):
     keys, rows = next(iter(spill.export()))
     assert rows.shape[1] == 8 + 1 + 1
     assert (rows[:, 8] >= 1).all()  # freq column
+
+
+def test_windowed_evict_cursor_sweeps_whole_table(rng):
+    """policy.evict_scan_buckets: a K-bucket rotating window must evict the
+    SAME rows as a full scan after one complete lap, and never a live-hot
+    row (VERDICT r2 #9: the full-plane scan costs ~1.2 s at 2^27)."""
+    import jax.numpy as jnp
+
+    from meepoembedding_tpu.config import OptimizerConfig, PolicyConfig, TableConfig
+    from meepoembedding_tpu.table.runtime import DynamicEmbeddingTable
+
+    cfg = TableConfig(
+        dim=8, capacity=1 << 12,  # 32 buckets
+        optimizer=OptimizerConfig(kind="rowwise_adagrad"),
+        policy=PolicyConfig(evict_policy="ttl", ttl_steps=5,
+                            max_evict_per_pass=1 << 10,
+                            evict_scan_buckets=8),
+    )
+    t = DynamicEmbeddingTable(cfg)
+    old_ids = rng.integers(1, 10**12, size=600).astype(np.int64)
+    t.lookup(old_ids, train=True)
+    t.apply_grads(np.zeros((600, 8), np.float32))
+    t.step = 50  # everything inserted at step ~0 is now TTL-expired
+    hot_ids = rng.integers(10**12, 2 * 10**12, size=100).astype(np.int64)
+    t.lookup(hot_ids, train=True)  # touched at step 50: not expired
+    t.apply_grads(np.zeros((100, 8), np.float32))
+
+    nb = t.spec.num_buckets
+    laps = -(-nb // cfg.policy.evict_scan_buckets)
+    total = 0
+    for _ in range(laps):
+        total += t.evict()
+    live = int(jnp.sum(t.shard.cnt))
+    assert total == len(set(old_ids.tolist()))  # every expired row evicted
+    assert live == len(set(hot_ids.tolist()))  # every hot row kept
+    # cursor wrapped back to the start
+    assert t._evict_cursor == 0
