@@ -42,10 +42,11 @@ def main():
     dim = 16
     vocab = 1 << 19  # static baseline rows (hash-trick, collisions expected)
 
-    tsv = os.path.join(tempfile.gettempdir(), "meepo_parity.tsv")
+    total = train_lines + eval_lines
+    tsv = os.path.join(tempfile.gettempdir(), f"meepo_parity_{total}.tsv")
     if not os.path.exists(tsv) or os.environ.get("MEEPO_PARITY_REGEN"):
-        log(f"generating {train_lines + eval_lines} Criteo-format lines ...")
-        write_synthetic_criteo_signal(tsv, train_lines + eval_lines, seed=7)
+        log(f"generating {total} Criteo-format lines ...")
+        write_synthetic_criteo_signal(tsv, total, seed=7)
 
     train_steps = train_lines // batch
     eval_steps = eval_lines // batch
