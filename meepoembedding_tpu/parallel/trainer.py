@@ -674,6 +674,7 @@ class ShardedTrainer:
             codec = SpillCodec(self.spec)
             for e in local.values():
                 spill_export(codec, self.spill, e)
+            self.spilled_rows = getattr(self, "spilled_rows", 0) + total
         return {
             "evicted": int(multihost.all_processes_sum(total)),
             "promoted": promoted,
@@ -771,6 +772,8 @@ class ShardedTrainer:
         from meepoembedding_tpu.table.layout import ERASES
 
         out["erases"] = int(c[ERASES])
+        # spill runs host-side per process; surface this process's count
+        out["spills"] = max(out["spills"], getattr(self, "spilled_rows", 0))
         return out
 
     def __len__(self) -> int:

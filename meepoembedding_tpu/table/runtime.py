@@ -318,6 +318,7 @@ class DynamicEmbeddingTable:
             from meepoembedding_tpu.tiering import spill_export
 
             spill_export(self._codec, self.spill, export)
+            self.spilled_rows = getattr(self, "spilled_rows", 0) + n
         return n
 
     # --- introspection -------------------------------------------------------
@@ -338,6 +339,9 @@ class DynamicEmbeddingTable:
         if self._promoter is not None:
             out["promotes"] = self._promoter.promoted
             out["spilled_resident"] = len(self.spill)
+        # spilling runs host-side (maintenance drains exports to the cold
+        # tier), so the device counter never sees it; the host count does
+        out["spills"] = max(out["spills"], getattr(self, "spilled_rows", 0))
         return out
 
     # --- checkpoint (SURVEY.md C19, §3.5) ------------------------------------

@@ -236,6 +236,7 @@ class Trainer:
             from meepoembedding_tpu.tiering import SpillCodec, spill_export
 
             spill_export(SpillCodec(self.spec), self.spill, export)
+            self.spilled_rows = getattr(self, "spilled_rows", 0) + n
         return {"evicted": n}
 
 
@@ -304,4 +305,7 @@ def train(
 def _counters(tr: Trainer) -> dict:
     c = np.asarray(tr.shard.counters)
     names = ["hits", "misses", "inserts", "drops", "evictions", "spills", "promotes", "denied"]
-    return {n: int(c[i]) for i, n in enumerate(names)}
+    out = {n: int(c[i]) for i, n in enumerate(names)}
+    # spill runs host-side; surface the host count (device counter unused)
+    out["spills"] = max(out["spills"], getattr(tr, "spilled_rows", 0))
+    return out
