@@ -216,11 +216,18 @@ def save_shard_streamed(
         if os.path.exists(path):
             with np.load(path) as z:
                 got = int(z["n_live"])
-            if got != n_live:
+                # parts cut at a different chunk size cover different row
+                # ranges; mixing them duplicates/drops rows silently
+                # (advisor r3 medium). Parts from before this field carry
+                # no chunk_rows and are conservatively rejected.
+                got_chunk = int(z["chunk_rows"]) if "chunk_rows" in z.files else -1
+            if got != n_live or got_chunk != chunk_rows:
                 raise RuntimeError(
                     f"resume mismatch: {path} was cut from a table with "
-                    f"{got} live rows, current shard has {n_live}; delete "
-                    f"the stale generation dir to start a fresh save"
+                    f"{got} live rows at chunk_rows={got_chunk}, current "
+                    f"save has {n_live} live rows at chunk_rows="
+                    f"{chunk_rows}; delete the stale generation dir to "
+                    f"start a fresh save"
                 )
             continue
         if idx_all is None:
@@ -230,6 +237,8 @@ def save_shard_streamed(
         arrs = _encode_arrays(_fetch_chunk(spec, shard, idx_all, e_pad, o, n,
                                            chunk_rows))
         arrs["n_live"] = np.int64(n_live)
+        arrs["chunk_rows"] = np.int64(chunk_rows)
+        arrs["row_off"] = np.int64(o)
         _atomic_write(path, lambda f, arrs=arrs: savez(f, **arrs))
     if expected == 0:
         # empty shard: one empty part keeps the reader contract uniform
@@ -237,7 +246,21 @@ def save_shard_streamed(
         if not os.path.exists(path):
             arrs = _encode_arrays(_empty_shard_arrays(spec))
             arrs["n_live"] = np.int64(0)
+            arrs["chunk_rows"] = np.int64(chunk_rows)
+            arrs["row_off"] = np.int64(0)
             _atomic_write(path, lambda f, arrs=arrs: savez(f, **arrs))
+    # drop stale higher-index parts (e.g. a prior attempt at a smaller
+    # chunk size wrote more parts): _shard_files concatenates EVERY
+    # part-file for this shard, so leftovers would silently append rows.
+    prefix = f"shard-{shard_id:05d}.part"
+    for name in os.listdir(gdir):
+        if name.startswith(prefix) and name.endswith(".npz"):
+            try:
+                idx = int(name[len(prefix):-4])
+            except ValueError:
+                continue
+            if idx >= max(expected, 1):
+                os.unlink(os.path.join(gdir, name))
     return n_live
 
 
@@ -549,7 +572,8 @@ def iter_rows(path: str) -> Iterator[dict]:
             for fp in files:
                 with np.load(fp) as z:
                     out = _decode_arrays(z)
-                out.pop("n_live", None)  # part-file resume metadata
+                for meta in ("n_live", "chunk_rows", "row_off"):
+                    out.pop(meta, None)  # part-file resume metadata
                 yield out
             continue
         cols = []

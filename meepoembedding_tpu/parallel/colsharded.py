@@ -434,13 +434,13 @@ class ColShardedTrainer:
         return {"loss": float(loss), "logits": logits}
 
     def maintenance(self) -> dict:
-        self.flush()
         """Eviction tick for the 2-D layout (capacity control; SURVEY.md
         §3.4). evict_pass is a pure function of the key/score planes, which
         are identical across columns, so column shards evict the SAME rows in
         lockstep — each freeing its own lane block. Spill of the export is
         not wired (the CLI forbids --spill with --col-shards): evicted rows
         are dropped, like the single-device no-spill configuration."""
+        self.flush()
         from meepoembedding_tpu.table import xla_ops
 
         if self.spec.policy.evict_policy == "none":
@@ -488,8 +488,28 @@ class ColShardedTrainer:
     def load_checkpoint(self, path: str) -> dict:
         """Elastic restore from ANY checkpoint layout: every key rehashes to
         its new owner row-shard; each column chip restores only its lane
-        block (checkpoint.restore_shards lane_slice)."""
+        block (checkpoint.restore_shards lane_slice). A growable table
+        (grow_at_load set) pre-grows to fit the checkpoint's live set, same
+        as ShardedTrainer (advisor r3: restore used to raise instead)."""
+        import dataclasses as _dc
+
         from meepoembedding_tpu import checkpoint
+
+        total = sum(checkpoint.read_manifest(path).get("counts", [0]))
+        grew = False
+        while (
+            self.table_cfg.grow_at_load is not None
+            and total > self.table_cfg.grow_at_load * self.spec.capacity * self.S
+        ):
+            self.table_cfg = _dc.replace(
+                self.table_cfg, capacity=self.table_cfg.capacity * 2
+            )
+            self.spec = TableSpec.from_config(self.table_cfg, num_shards=self.S)
+            self.spec_local = col_local_spec(self.spec, self.C)
+            grew = True
+        if grew:
+            self.stacked = alloc_col_stacked(self.spec_local, self.mesh)
+            self._build_step_fns()
 
         sharding = NamedSharding(self.mesh, P(SHARD_AXIS, COL_AXIS))
         dev_map = sharding.addressable_devices_indices_map((self.S, self.C))
@@ -519,6 +539,9 @@ class ColShardedTrainer:
             checkpoint.load_dense(path, "opt_state", self.opt_state), rep
         )
         self.step = manifest["step"]
+        # seed the growth gate with the restored live count (advisor r3 high:
+        # an unseeded bound lets the table silently fill to hard capacity).
+        self._live_upper = total
         return manifest
 
     def _replicated(self, fn, *arrs):

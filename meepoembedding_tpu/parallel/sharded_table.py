@@ -42,6 +42,19 @@ ROUTE_DROPS = 8  # counters index (extends layout counter names)
 # uses it to price the exchange without multi-chip hardware).
 FORCE_EXCHANGE = False
 
+# bf16 tables ship gradients over the a2a in bf16 (half the ICI bytes).
+# PARITY NOTE (advisor r3): the quantization happens BEFORE the owner-side
+# duplicate segment-sum and the f32 rowwise-adagrad accumulator update, so
+# S>1 numerics differ in the last bf16 ulp from the S==1 fast path (which
+# keeps f32 grads end-to-end) and from the single-device trainer. The drift
+# is bounded by bf16 rounding of individual per-unique grads — tested to
+# track the f32 wire within ~1e-2 over 30 steps (tests/test_sharded.py,
+# bf16 wire-parity test). Deployments that need bit-comparability between
+# 1-chip and S-chip runs set MEEPO_GRAD_WIRE_BF16=0 to spend the bytes.
+import os as _os
+
+GRAD_WIRE_BF16 = _os.environ.get("MEEPO_GRAD_WIRE_BF16", "1") != "0"
+
 
 def a2a_capacity(unique_cap: int, num_shards: int, factor: float = 1.25) -> int:
     """Static per-(src,dst) buffer size. factor >= num_shards is lossless.
@@ -214,8 +227,13 @@ def exchange_apply_grads(
     # quantizes to bf16 on write anyway, so shipping f32 grads would spend
     # 2x the ICI bytes to carry precision the row can't hold. The owner-side
     # segment-sum still runs in f32 (cast right after the a2a) so duplicate
-    # contributions accumulate at full precision.
-    wire_dtype = spec.dtype if spec.dtype == jnp.bfloat16 else jnp.float32
+    # contributions accumulate at full precision. See GRAD_WIRE_BF16 above
+    # for the S==1-vs-S>1 parity implications and the opt-out.
+    wire_dtype = (
+        spec.dtype
+        if spec.dtype == jnp.bfloat16 and GRAD_WIRE_BF16
+        else jnp.float32
+    )
     send_g = (
         jnp.zeros((S, cap, spec.dim), wire_dtype)
         .at[o, ctx.pos]

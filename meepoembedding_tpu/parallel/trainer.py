@@ -641,6 +641,10 @@ class ShardedTrainer:
                 fulldim_b, jnp.int32(self.step),
             )
             promoted += inserted[0]
+        # promotions add live rows outside train_step's incoming accounting;
+        # bump the growth gate's upper bound by the GLOBAL promoted count so
+        # _maybe_grow never undercounts (advisor r3 high finding).
+        self._live_upper += int(multihost.all_processes_sum(promoted))
         return promoted
 
     def maintenance(self) -> dict:
@@ -729,7 +733,6 @@ class ShardedTrainer:
             self._erase_fns = {}
             self._promote_fn = None
             self._build_step_fns()
-            self._live_upper = 0
 
         sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
         my_ids = sorted(
@@ -754,6 +757,11 @@ class ShardedTrainer:
             checkpoint.load_dense(path, "opt_state", self.opt_state), rep
         )
         self.step = manifest["step"]
+        # seed the growth gate with the restored live count: without this a
+        # table restored near grow_at_load*capacity would not fetch the true
+        # live count until sum(incoming) ALONE crossed the limit, filling to
+        # hard capacity and silently denying inserts (advisor r3 high).
+        self._live_upper = total
         return manifest
 
     def _replicated(self, fn, *arrs):

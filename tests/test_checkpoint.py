@@ -377,6 +377,52 @@ def test_streamed_parts_and_resume(tmp_path, monkeypatch):
         checkpoint.save_shard_streamed(gen3, 0, t4.spec, t4.shard, 128)
 
 
+def test_streamed_resume_rejects_chunk_size_change(tmp_path):
+    """Parts cut at a different chunk_rows cover different row ranges, so a
+    resume with a changed MEEPO_CKPT_CHUNK_ROWS must abort (advisor r3
+    medium), and a completed save must delete stale higher-index parts a
+    smaller-chunk attempt left behind (they would concatenate as extra
+    rows)."""
+    import os
+
+    t, _ = _trained_table(n_ids=500)
+    gen = str(tmp_path / "gen")
+    os.makedirs(gen)
+    # interrupted save at chunk 64: keep a valid prefix AND a stale tail part
+    checkpoint.save_shard_streamed(gen, 0, t.spec, t.shard, 64)
+    small_parts = sorted(f for f in os.listdir(gen) if ".part" in f)
+    assert len(small_parts) >= 4
+    for f in small_parts[1:-1]:
+        os.unlink(os.path.join(gen, f))  # parts 0 and last remain
+
+    # resume at a DIFFERENT chunk size sees part 0 and must abort
+    with pytest.raises(RuntimeError, match="chunk_rows"):
+        checkpoint.save_shard_streamed(gen, 0, t.spec, t.shard, 128)
+
+    # fresh dir: complete a 128-chunk save next to a stale higher-index part
+    gen2 = str(tmp_path / "gen2")
+    os.makedirs(gen2)
+    checkpoint.save_shard_streamed(gen2, 0, t.spec, t.shard, 64)
+    n64 = len([f for f in os.listdir(gen2) if ".part" in f])
+    for f in sorted(f for f in os.listdir(gen2) if ".part" in f):
+        os.unlink(os.path.join(gen2, f))  # simulate only the tail surviving
+    # plant a stale tail part beyond what a 128-chunk save writes
+    stale = checkpoint._part_name(0, n64 - 1)
+    with open(os.path.join(gen2, stale), "wb") as f:
+        f.write(b"stale")
+    n_live = checkpoint.save_shard_streamed(gen2, 0, t.spec, t.shard, 128)
+    names = sorted(f for f in os.listdir(gen2) if ".part" in f)
+    assert names == [
+        checkpoint._part_name(0, p) for p in range(-(-n_live // 128))
+    ], names  # stale tail removed; exactly the expected parts remain
+    got = 0
+    for f in names:
+        with np.load(os.path.join(gen2, f)) as z:
+            assert int(z["chunk_rows"]) == 128
+            got += z["ids"].shape[0]
+    assert got == n_live
+
+
 def test_bf16_checkpoint_stores_raw_bits(tmp_path):
     """A bf16 table's values part files hold uint16 bit patterns (half the
     bytes), and the decode widens to exactly the on-device values."""

@@ -153,6 +153,31 @@ def test_colsharded_checkpoint_roundtrip_and_elastic(mesh2x2, tmp_path):
     np.testing.assert_allclose(e3, e1, rtol=2e-3, atol=2e-4)
 
 
+def test_colsharded_restore_pregrows_and_seeds_gate(mesh2x2, tmp_path):
+    """A growable 2-D trainer must pre-grow on load to fit the checkpoint's
+    live set (advisor r3: it used to raise out of restore_shards) and seed
+    the growth gate with the restored live count (advisor r3 high)."""
+    run, table, model, data = _cfgs(dim=16)
+    tr = ColShardedTrainer(run, table, model, mesh2x2)
+    batches = list(SyntheticStream(data).batches(6))
+    for b in batches:
+        tr.train_step(b)
+    live = len(tr)
+    assert live > 512
+    ck = str(tmp_path / "ck")
+    tr.save_checkpoint(ck)
+
+    small = dataclasses.replace(table, capacity=1 << 8, grow_at_load=0.7)
+    tr2 = ColShardedTrainer(run, small, model, mesh2x2)
+    tr2.load_checkpoint(ck)  # must pre-grow, not raise
+    assert tr2.spec.capacity > 1 << 8
+    assert len(tr2) == live
+    assert tr2._live_upper == live
+    e1 = tr.eval_step(batches[1])["loss"]
+    e2 = tr2.eval_step(batches[1])["loss"]
+    np.testing.assert_allclose(e2, e1, rtol=2e-3, atol=2e-4)
+
+
 def test_colsharded_eviction_lockstep(mesh2x2):
     """TTL eviction on the 2-D grid: columns evict the same rows in
     lockstep, and every (s, c) shard stays invariant-clean."""

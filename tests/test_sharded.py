@@ -185,6 +185,47 @@ def test_sharded_matches_single_device_training(mesh):
     np.testing.assert_allclose(losses1, losses8, rtol=2e-3, atol=2e-4)
 
 
+def test_bf16_wire_parity_s8_vs_single_device(mesh, monkeypatch):
+    """bf16 tables quantize per-unique grads to bf16 BEFORE the a2a (S>1
+    only), so S>1 numerics drift from the single-device/S==1 f32-grad path
+    by bf16 rounding per step (advisor r3). Assert the drift stays within
+    tolerance over real training, and that MEEPO_GRAD_WIRE_BF16=0 restores
+    an f32 wire that tracks at least as closely."""
+    from meepoembedding_tpu.train import Trainer
+
+    dim = 8
+    run = RunConfig(batch_size=256, steps=10, dense_learning_rate=3e-3,
+                    seed=3, pipeline_depth=0)
+    table = TableConfig(dim=dim, capacity=1 << 14, initializer_scale=0.02,
+                        value_dtype="bfloat16")
+    model = ModelConfig(
+        kind="ctr_mlp", num_dense_features=4, num_sparse_features=4,
+        embedding_dim=dim, bottom_mlp=(16, dim), top_mlp=(32, 1),
+    )
+    data = SyntheticConfig(num_dense=4, num_sparse=4, batch_size=256,
+                           vocab_per_feature=300)
+
+    def sharded_losses(wire_bf16):
+        monkeypatch.setattr(st, "GRAD_WIRE_BF16", wire_bf16)
+        tr = ShardedTrainer(run, table, model, mesh=mesh)
+        return [
+            tr.train_step(b)["loss"]
+            for b in SyntheticStream(data).batches(run.steps)
+        ]
+
+    single = Trainer(run, table, model)
+    losses1 = [
+        single.train_step(b)["loss"]
+        for b in SyntheticStream(data).batches(run.steps)
+    ]
+    l_bf16 = sharded_losses(True)
+    l_f32 = sharded_losses(False)
+    err_bf16 = np.max(np.abs(np.asarray(l_bf16) - np.asarray(losses1)))
+    err_f32 = np.max(np.abs(np.asarray(l_f32) - np.asarray(losses1)))
+    assert err_bf16 < 1e-2, (err_bf16, l_bf16, losses1)
+    assert err_f32 < 1e-2, (err_f32, l_f32, losses1)
+
+
 def test_sharded_remove(mesh, rng):
     """Distributed erase: remove via the a2a owner routing must delete each
     key on exactly its owner shard and agree with single-device semantics
@@ -371,3 +412,23 @@ def test_single_device_mesh_grow_and_checkpoint(tmp_path):
     tr2 = ShardedTrainer(run, table, model, mesh=make_mesh(1))
     tr2.load_checkpoint(str(tmp_path / "ck"))
     assert len(tr2) == len(tr)
+    # growth gate must be seeded with the restored live count (advisor r3
+    # high): an unseeded bound lets the table fill to hard capacity before
+    # the first live-count fetch, silently denying inserts.
+    assert tr2._live_upper == len(tr2)
+    # behavioral check: feeding fresh uniques right after restore must keep
+    # growing instead of filling toward hard capacity
+    cap_before = tr2.spec.capacity
+    limit = table.grow_at_load * cap_before
+    fresh = 10**9 + np.arange(int(limit) + 512, dtype=np.int64)
+    for o in range(0, len(fresh) - 256, 256):
+        tr2.train_step({
+            "ids": fresh[o:o + 256].reshape(64, 4),
+            "dense": rng.normal(size=(64, 3)).astype(np.float32),
+            "label": rng.integers(0, 2, size=64).astype(np.float32),
+        })
+        if tr2.spec.capacity > cap_before:
+            break
+    assert tr2.spec.capacity > cap_before, (
+        "restored trainer never grew while absorbing fresh uniques"
+    )

@@ -208,8 +208,12 @@ def test_sharded_evict_spill_promote_roundtrip(rng):
     # overwrites the interim fresh-trained rows with the spilled state
     tr.train_step(batch(np.tile(cold_ids, 2)))
     tr._promoter.flush()
+    gate_before = tr._live_upper
     out = tr.maintenance()
     assert out["promoted"] >= len(cold_ids)
+    # promoted rows are live rows the growth gate's incoming accounting never
+    # saw — the bound must absorb them (advisor r3 high)
+    assert tr._live_upper >= gate_before + out["promoted"]
     after = state()
     for k in map(int, cold_ids):
         np.testing.assert_array_equal(after[k][0], before[k][0])
