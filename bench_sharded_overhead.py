@@ -125,13 +125,16 @@ def main():
         gc.collect()
         return min(windows), windows
 
-    def run_sharded(force_exchange=False):
+    def run_sharded(force_exchange=False, ragged=False):
+        import dataclasses
+
         from meepoembedding_tpu.parallel import sharded_table as st
         from meepoembedding_tpu.parallel.mesh import make_mesh
         from meepoembedding_tpu.parallel.trainer import ShardedTrainer
 
         st.FORCE_EXCHANGE = force_exchange
-        tr = ShardedTrainer(run, table, model, mesh=make_mesh(S))
+        run_local = dataclasses.replace(run, a2a_ragged=ragged)
+        tr = ShardedTrainer(run_local, table, model, mesh=make_mesh(S))
         t0 = time.perf_counter()
         for b in pre_batches:
             tr.train_step(b)
@@ -194,6 +197,13 @@ def main():
             f"[{','.join(f'{w*1e3:.0f}' for w in ew)}]  route_drops={ex_drops}")
         out["exchange_forced_ms"] = round(ex_ms * 1e3, 2)
         out["exchange_overhead"] = round(ex_ms / fused_ms - 1.0, 4)
+        # ragged transport (parallel/ragged.py): real lax.ragged_all_to_all
+        # lowering on TPU, same forced-exchange harness
+        rex_ms, rew, rex_drops = run_sharded(force_exchange=True, ragged=True)
+        log(f"sharded (forced RAGGED exchange): {rex_ms*1e3:8.2f} ms/step  "
+            f"[{','.join(f'{w*1e3:.0f}' for w in rew)}]  route_drops={rex_drops}")
+        out["exchange_ragged_ms"] = round(rex_ms * 1e3, 2)
+        out["exchange_ragged_overhead"] = round(rex_ms / fused_ms - 1.0, 4)
     print(json.dumps(out))
 
 

@@ -192,6 +192,15 @@ class RunConfig:
     # the factor (recompiling the step) if a drop is ever observed, so the
     # exchange is drop-free in steady state without lossless S-times buffers.
     a2a_factor: float = 1.25
+    # Ragged ID/row/grad exchange (parallel/ragged.py): the payload rides
+    # lax.ragged_all_to_all so ICI carries only the rows that actually
+    # routed (<= U per direction) instead of the dense factor*U padding;
+    # route drops move from per-(src,dst) overflow to total-receiver
+    # overflow (tighter concentration). Dense remains the default: XLA:CPU
+    # has no ragged-all-to-all lowering, so CPU meshes run the same plan
+    # over an element-exact emulated transport (tests cover it; production
+    # CPU deployments should stay dense).
+    a2a_ragged: bool = False
     # Host-fetch lag of the sharded trainer (parallel/trainer.py): step i's
     # scalars/arrays are read back only at step i+depth, so the host never
     # blocks on the step it just dispatched and the device pipeline stays

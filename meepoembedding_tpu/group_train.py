@@ -384,9 +384,17 @@ class ShardedGroupTrainer:
         names, specs, mc, rc = self.names, self.specs, self.model_cfg, self.run_cfg
         S = self.S
         ucaps = self._caps()
-        a2a_caps = {
-            n: st.a2a_capacity(ucaps[n], S, self.a2a_factor) for n in names
-        }
+        ragged = self.run_cfg.a2a_ragged
+        if ragged:
+            from meepoembedding_tpu.parallel import ragged as rg
+
+            a2a_caps = {
+                n: rg.ragged_recv_cap(ucaps[n], S, self.a2a_factor) for n in names
+            }
+        else:
+            a2a_caps = {
+                n: st.a2a_capacity(ucaps[n], S, self.a2a_factor) for n in names
+            }
 
         def lookup_all(shards, hi, lo, step, train):
             """Per-table dedup + exchange. Returns (shards', per-table
@@ -401,7 +409,7 @@ class ShardedGroupTrainer:
                 d0 = shards[n].counters[st.ROUTE_DROPS]
                 shard, emb_u, ctx = st.exchange_lookup(
                     specs[n], shards[n], uniq.hi, uniq.lo, uniq.valid, step,
-                    SHARD_AXIS, a2a_caps[n], train=train,
+                    SHARD_AXIS, a2a_caps[n], train=train, ragged=ragged,
                 )
                 drops = drops + (shard.counters[st.ROUTE_DROPS] - d0)
                 shards[n] = shard

@@ -123,9 +123,14 @@ def exchange_lookup(
     axis: str,
     cap: int,
     train: bool = True,
+    ragged: bool = False,
 ) -> Tuple[TableShard, jax.Array, RouteCtx]:
     """Sharded find_or_insert + gather for local unique ids.
-    Returns (shard', emb_u [U, dim], ctx for the gradient reverse path)."""
+    Returns (shard', emb_u [U, dim], ctx for the gradient reverse path).
+
+    ragged=True routes the payload over parallel/ragged.py (ICI carries only
+    the routed rows; `cap` is then the RECEIVER total = ragged_recv_cap, not
+    the dense per-pair capacity). The S==1 fast path is shared."""
     S = lax.axis_size(axis)
     if S == 1 and not FORCE_EXCHANGE:
         # single-shard mesh: every id is locally owned and already deduped —
@@ -156,6 +161,12 @@ def exchange_lookup(
         return shard, emb_u, RouteCtx(
             owner=zero, pos=ar, ok=valid, lctx=lctx, inverse=ar,
             miss_hi=uh, miss_lo=ul, miss=valid & ~found,
+        )
+    if ragged:
+        from meepoembedding_tpu.parallel import ragged as rg
+
+        return rg.exchange_lookup(
+            spec, shard, uh, ul, valid, step, axis, cap, train=train
         )
     owner, pos, ok = _route(uh, ul, valid, S, cap)
 
@@ -207,7 +218,15 @@ def exchange_apply_grads(
 ) -> TableShard:
     """Reverse path: route per-unique grads to owners, segment-sum per key,
     one in-place optimizer update (SURVEY.md §3.3). `g2_mean` threads to
-    optim.apply_sparse_grads_ctx (column-sharded rowwise accumulator)."""
+    optim.apply_sparse_grads_ctx (column-sharded rowwise accumulator).
+    Dispatches on the ctx type: a RaggedCtx (from the ragged forward) rides
+    the ragged return path."""
+    from meepoembedding_tpu.parallel import ragged as rg
+
+    if isinstance(ctx, rg.RaggedCtx):
+        return rg.exchange_apply_grads(
+            spec, shard, ctx, g_u, axis, cap, g2_mean=g2_mean
+        )
     S = lax.axis_size(axis)
     if S == 1 and not FORCE_EXCHANGE:
         # single-shard fast path (see exchange_lookup): g_u is already

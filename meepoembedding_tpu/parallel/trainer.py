@@ -96,13 +96,19 @@ def stacked_from_shards(shards_by_id: dict, mesh, template_stacked):
 def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap: int,
                       a2a_factor: float = 1.25, combiner: str = "mean",
                       lr_schedule: str = "constant", total_steps: int = 0,
-                      warmup_steps: int = 0, grad_clip_norm=None):
+                      warmup_steps: int = 0, grad_clip_norm=None,
+                      ragged: bool = False):
     """Build the jitted sharded train step. Batch arrays carry the GLOBAL
     batch on axis 0 (sharded over `d`); table state is stacked [S, ...].
     Also returns this step's global route_drops count so the trainer can
     auto-resize the exchange capacity if the hash balance is ever exceeded."""
     S = mesh.shape[SHARD_AXIS]
-    cap = st.a2a_capacity(unique_cap, S, a2a_factor)
+    if ragged:
+        from meepoembedding_tpu.parallel import ragged as rg
+
+        cap = rg.ragged_recv_cap(unique_cap, S, a2a_factor)
+    else:
+        cap = st.a2a_capacity(unique_cap, S, a2a_factor)
 
     def step_impl(stacked, params, opt_state, dense, hi, lo, label, step, logq):
         shard = st.squeeze_shard(stacked)
@@ -110,7 +116,8 @@ def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap:
         bag_valid = hashing.is_valid(hi, lo) if hi.ndim == 3 else None
         drops0 = shard.counters[st.ROUTE_DROPS]
         shard, emb_u, ctx = st.exchange_lookup(
-            spec, shard, uniq.hi, uniq.lo, uniq.valid, step, SHARD_AXIS, cap, train=True
+            spec, shard, uniq.hi, uniq.lo, uniq.valid, step, SHARD_AXIS, cap,
+            train=True, ragged=ragged,
         )
         drops = lax.psum(shard.counters[st.ROUTE_DROPS] - drops0, SHARD_AXIS)
         # owner-side miss info, per shard (async cold-tier promotion feed)
@@ -158,9 +165,14 @@ def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap:
 
 
 def make_sharded_eval(spec: TableSpec, model, mesh, unique_cap: int, a2a_factor: float = 1.25,
-                      combiner: str = "mean"):
+                      combiner: str = "mean", ragged: bool = False):
     S = mesh.shape[SHARD_AXIS]
-    cap = st.a2a_capacity(unique_cap, S, a2a_factor)
+    if ragged:
+        from meepoembedding_tpu.parallel import ragged as rg
+
+        cap = rg.ragged_recv_cap(unique_cap, S, a2a_factor)
+    else:
+        cap = st.a2a_capacity(unique_cap, S, a2a_factor)
 
     def eval_impl(stacked, params, dense, hi, lo, label):
         shard = st.squeeze_shard(stacked)
@@ -169,7 +181,7 @@ def make_sharded_eval(spec: TableSpec, model, mesh, unique_cap: int, a2a_factor:
         drops0 = shard.counters[st.ROUTE_DROPS]
         shard2, emb_u, _ = st.exchange_lookup(
             spec, shard, uniq.hi, uniq.lo, uniq.valid, jnp.int32(0), SHARD_AXIS, cap,
-            train=False,
+            train=False, ragged=ragged,
         )
         # the updated shard is discarded (eval mutates nothing), but the drop
         # count must NOT be: a dropped id silently scores with a zero row, so
@@ -299,6 +311,7 @@ class ShardedTrainer:
         self._auto_ucap = run_cfg.unique_cap is None
         self._bag_len = 1
         self.a2a_factor = run_cfg.a2a_factor
+        self.a2a_ragged = run_cfg.a2a_ragged
         self.combiner = model_cfg.combiner
         self._erase_fns = {}
         self._build_step_fns()
@@ -311,10 +324,11 @@ class ShardedTrainer:
             total_steps=self.run_cfg.steps,
             warmup_steps=self.run_cfg.warmup_steps,
             grad_clip_norm=self.run_cfg.grad_clip_norm,
+            ragged=self.a2a_ragged,
         )
         self._eval_fn = make_sharded_eval(
             self.spec, self.model, self.mesh, self.unique_cap, self.a2a_factor,
-            self.combiner,
+            self.combiner, ragged=self.a2a_ragged,
         )
 
     def _maybe_grow_ucap(self, ids: np.ndarray):
