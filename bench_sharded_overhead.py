@@ -174,22 +174,30 @@ def main():
         gc.collect()
         return min(windows), windows, drops
 
+    # arm selection (the full sweep exceeds typical timeouts on the tunneled
+    # chip): comma list of {fast,exchange,ragged}; default all
+    arms = set(
+        os.environ.get("MEEPO_OVERHEAD_ARMS", "fast,exchange,ragged").split(",")
+    )
     fused_ms, fw = run_fused()
-    sharded_ms, sw, drops = run_sharded()
     log(f"fused:            {fused_ms*1e3:8.2f} ms/step  "
         f"[{','.join(f'{w*1e3:.0f}' for w in fw)}]")
-    log(f"sharded (S=1 fast path): {sharded_ms*1e3:8.2f} ms/step  "
-        f"[{','.join(f'{w*1e3:.0f}' for w in sw)}]  route_drops={drops}")
     out = {
         "metric": "sharded_step_overhead_vs_fused",
         "devices": S,
         "ids_per_step": ids_per_step,
         "fused_ms": round(fused_ms * 1e3, 2),
-        "sharded_ms": round(sharded_ms * 1e3, 2),
-        "overhead": round(sharded_ms / fused_ms - 1.0, 4),
-        "route_drops": int(drops),
     }
-    if S == 1:
+    if "fast" in arms:
+        sharded_ms, sw, drops = run_sharded()
+        log(f"sharded (S=1 fast path): {sharded_ms*1e3:8.2f} ms/step  "
+            f"[{','.join(f'{w*1e3:.0f}' for w in sw)}]  route_drops={drops}")
+        out.update(
+            sharded_ms=round(sharded_ms * 1e3, 2),
+            overhead=round(sharded_ms / fused_ms - 1.0, 4),
+            route_drops=int(drops),
+        )
+    if S == 1 and "exchange" in arms:
         # price the exchange machinery itself: routing sort + send-buffer
         # scatter + a2a + owner re-dedup + emb re-gather, sans real ICI
         ex_ms, ew, ex_drops = run_sharded(force_exchange=True)
@@ -197,6 +205,7 @@ def main():
             f"[{','.join(f'{w*1e3:.0f}' for w in ew)}]  route_drops={ex_drops}")
         out["exchange_forced_ms"] = round(ex_ms * 1e3, 2)
         out["exchange_overhead"] = round(ex_ms / fused_ms - 1.0, 4)
+    if S == 1 and "ragged" in arms:
         # ragged transport (parallel/ragged.py): real lax.ragged_all_to_all
         # lowering on TPU, same forced-exchange harness
         rex_ms, rew, rex_drops = run_sharded(force_exchange=True, ragged=True)

@@ -190,6 +190,32 @@ def _make_spill(args, table_cfg):
     return make_backend(args.spill, width=SpillCodec(spec).width, **kwargs)
 
 
+def _make_group_spill(args, tables: dict):
+    """Per-table spill backends for `tables:` group training. host/disk only:
+    a shared redis keyspace would collide across tables (raw int64 keys with
+    table-specific row widths)."""
+    if not getattr(args, "spill", None) or args.spill == "none":
+        return None
+    if args.spill == "redis":
+        raise SystemExit(
+            "`tables:` group training supports --spill host|disk (one redis "
+            "keyspace cannot hold several tables' different row widths)"
+        )
+    from meepoembedding_tpu.backends import make_backend
+    from meepoembedding_tpu.table.layout import TableSpec
+    from meepoembedding_tpu.tiering import SpillCodec
+
+    out = {}
+    for name, cfg in tables.items():
+        kwargs = {}
+        if args.spill == "disk":
+            base = args.spill_path or "/tmp/meepo_spill.log"
+            kwargs["path"] = f"{base}.{name}"
+        spec = TableSpec.from_config(cfg)
+        out[name] = make_backend(args.spill, width=SpillCodec(spec).width, **kwargs)
+    return out
+
+
 # --- subcommands ----------------------------------------------------------------
 
 def _expand_paths(data: str):
@@ -240,9 +266,10 @@ def make_train_stream(data: str, run_cfg, model_cfg, host_id: int, num_hosts: in
 def _train_group(args, run_cfg, tables, feature_map, model_cfg) -> int:
     """Heterogeneous multi-table training behind the same `train` front end,
     selected by a `tables:` YAML section. --distributed row-shards every
-    member table over the mesh (group_train.ShardedGroupTrainer)."""
-    if getattr(args, "spill", "none") not in (None, "none"):
-        raise SystemExit("`tables:` group training does not support --spill")
+    member table over the mesh (group_train.ShardedGroupTrainer). --spill
+    host|disk gives every member its own spill backend; --maintenance-every
+    runs each member's eviction/spill tick on its own rotating cursor."""
+    spill = _make_group_spill(args, tables)
     import jax
 
     from meepoembedding_tpu.group_train import GroupTrainer, ShardedGroupTrainer
@@ -264,9 +291,9 @@ def _train_group(args, run_cfg, tables, feature_map, model_cfg) -> int:
             )
             mesh = make_mesh(n)
         tr = ShardedGroupTrainer(run_cfg, tables, feature_map, model_cfg,
-                                 mesh=mesh)
+                                 mesh=mesh, spill=spill)
     else:
-        tr = GroupTrainer(run_cfg, tables, feature_map, model_cfg)
+        tr = GroupTrainer(run_cfg, tables, feature_map, model_cfg, spill=spill)
     if args.restore:
         tr.load_checkpoint(args.restore)
     logger = JsonlLogger(echo=True)
@@ -284,6 +311,8 @@ def _train_group(args, run_cfg, tables, feature_map, model_cfg) -> int:
                 examples_per_sec=examples / (time.perf_counter() - t0),
                 rows={n: c["rows"] for n, c in tr.counters().items()},
             )
+        if args.maintenance_every and (i + 1) % args.maintenance_every == 0:
+            tr.maintenance()
         if args.ckpt_dir and args.ckpt_every and (i + 1) % args.ckpt_every == 0:
             tr.save_checkpoint(args.ckpt_dir)
     if hasattr(tr, "flush"):

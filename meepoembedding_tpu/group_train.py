@@ -19,9 +19,17 @@ gathered and updated exactly once per step.
 
 The model is the wide concat MLP (CTR-MLP shape): logits = MLP(dense ++
 pooled per-feature embeddings), the one model family whose input
-concatenation is dim-heterogeneous by construction. Tables must have
-dim <= 128 (the window-space hot path); eviction/growth maintenance is the
-single-table trainers' domain.
+concatenation is dim-heterogeneous by construction (DLRM dot-interaction
+requires equal dims, so it stays single-table). Tables must have dim <= 128
+(the window-space hot path).
+
+Maintenance is per member table: each table keeps its own rotating eviction
+cursor, optional spill backend, and online-growth gate (grow_at_load), so a
+small hot table can run LFU/TTL eviction while a large growable one doubles
+by rehash — independently, under one trainer. Promotion (cold->hot
+re-insert from the spill tier) remains the single-table trainers' domain:
+it needs per-table owner-side miss feeds that the fused group step does not
+export.
 
 Checkpoint layout mirrors TableGroup: <path>/group.json + one elastic
 checkpoint subdir per table, plus the dense tower — every member remains
@@ -54,6 +62,7 @@ class GroupTrainer:
         table_cfgs: Dict[str, TableConfig],
         feature_map: Sequence[str],
         model_cfg: ModelConfig,
+        spill: Dict[str, object] = None,
     ):
         assert table_cfgs and feature_map, "need tables and a feature map"
         unknown = set(feature_map) - set(table_cfgs)
@@ -69,10 +78,27 @@ class GroupTrainer:
         self.model_cfg = model_cfg
         self.names = sorted(table_cfgs)  # stable order for pytree positions
         self.feature_map = list(feature_map)
+        self.table_cfgs = dict(table_cfgs)  # growth rebuilds specs from these
         self.specs = {
             n: TableSpec.from_config(table_cfgs[n], num_shards=1) for n in self.names
         }
         self.shards = {n: alloc_shard(self.specs[n]) for n in self.names}
+        self.spill = dict(spill or {})
+        if self.spill:
+            from meepoembedding_tpu.tiering import SpillCodec
+
+            unknown_spill = set(self.spill) - set(self.names)
+            assert not unknown_spill, (
+                f"spill backends for unknown tables: {sorted(unknown_spill)}"
+            )
+            for n, be in self.spill.items():
+                w = SpillCodec(self.specs[n]).width
+                assert be.width == w, (
+                    f"table {n!r}: spill backend width {be.width} != codec {w}"
+                )
+        self._evict_cursors: Dict[str, int] = {}
+        self._live_upper = {n: 0 for n in self.names}
+        self.spilled_rows = {n: 0 for n in self.names}
         # features each table serves, in batch-column order
         self.table_features = {
             n: [s for s, fn in enumerate(self.feature_map) if fn == n]
@@ -197,8 +223,78 @@ class GroupTrainer:
 
         return eval_fn
 
+    # --- growth / maintenance (SURVEY.md C10/C11, per member table) -----------
+    def _maybe_grow(self, ids: np.ndarray) -> None:
+        """Per-table online growth: a table's live count can grow by at most
+        its columns' id count per step, so a host-side upper bound gates the
+        device fetch exactly like the single-table trainers (zero fetches on
+        steps far from the growth point)."""
+        L = ids.shape[2] if ids.ndim == 3 else 1
+        b = ids.shape[0]
+        for n in self.names:
+            cfg = self.table_cfgs[n]
+            if cfg.grow_at_load is None:
+                continue
+            incoming = b * L * len(self.table_features[n])
+            self._live_upper[n] += incoming
+            if self._live_upper[n] <= cfg.grow_at_load * self.specs[n].capacity:
+                continue
+            while True:
+                live = int(jnp.sum(self.shards[n].cnt))
+                cfg = self.table_cfgs[n]
+                if (live + incoming) <= cfg.grow_at_load * self.specs[n].capacity:
+                    self._live_upper[n] = live + incoming
+                    break
+                self._grow_table(n)
+
+    def _grow_table(self, name: str) -> None:
+        """Double one member's capacity by local rehash; every jitted fn
+        binds the old spec geometry, so the step/eval fns rebuild."""
+        import dataclasses
+
+        from meepoembedding_tpu.table.runtime import regrow_shard
+
+        old_spec = self.specs[name]
+        self.table_cfgs[name] = dataclasses.replace(
+            self.table_cfgs[name], capacity=self.table_cfgs[name].capacity * 2
+        )
+        self.specs[name] = TableSpec.from_config(
+            self.table_cfgs[name], num_shards=1
+        )
+        self.shards[name] = regrow_shard(
+            old_spec, self.specs[name], self.shards[name], self.step
+        )
+        self._step_fn = self._build_step()
+        self._eval_fn = self._build_eval()
+
+    def maintenance(self) -> dict:
+        """Eviction/spill tick per member table (SURVEY.md §3.4): the same
+        rotating-window evict_pass as train.Trainer.maintenance, with an
+        independent cursor and optional spill backend per table. Promotion
+        (cold->hot re-insert) remains the single-table trainers' domain."""
+        out = {}
+        for n in self.names:
+            spec = self.specs[n]
+            if spec.policy.evict_policy == "none":
+                out[n] = {"evicted": 0}
+                continue
+            off = self._evict_cursors.get(n, 0)
+            self._evict_cursors[n] = xla_ops.next_evict_cursor(spec, off)
+            self.shards[n], export = jax.jit(
+                xla_ops.evict_pass, static_argnums=(0,), donate_argnums=(1,)
+            )(spec, self.shards[n], jnp.int32(self.step), jnp.int32(off))
+            cnt = int(export.count)
+            if cnt and n in self.spill:
+                from meepoembedding_tpu.tiering import SpillCodec, spill_export
+
+                spill_export(SpillCodec(spec), self.spill[n], export)
+                self.spilled_rows[n] += cnt
+            out[n] = {"evicted": cnt}
+        return out
+
     # --- public API ------------------------------------------------------------
     def train_step(self, batch: dict) -> dict:
+        self._maybe_grow(np.asarray(batch["ids"]))
         hi, lo = hashing.split_ids(batch["ids"])
         self.shards, self.params, self.opt_state, loss, logits = self._step_fn(
             self.shards, self.params, self.opt_state,
@@ -226,7 +322,12 @@ class GroupTrainer:
             c = np.asarray(self.shards[n].counters)
             out[n] = {
                 "hits": int(c[layout.HITS]), "misses": int(c[layout.MISSES]),
-                "inserts": int(c[layout.INSERTS]), "rows": int(jnp.sum(self.shards[n].cnt)),
+                "inserts": int(c[layout.INSERTS]),
+                "evictions": int(c[layout.EVICTIONS]),
+                "denied": int(c[layout.DENIED]),
+                "spills": self.spilled_rows[n],
+                "rows": int(jnp.sum(self.shards[n].cnt)),
+                "capacity": self.specs[n].capacity,
             }
         return out
 
@@ -261,15 +362,36 @@ class GroupTrainer:
             f"group mismatch: checkpoint has {sorted(manifest['tables'])}, "
             f"trainer has {self.names}"
         )
+        import dataclasses
+
+        rebuilt = False
         for i, n in enumerate(self.names):
             sub = os.path.join(path, manifest["tables"][n])
+            # growable members pre-grow to fit the checkpoint's live set
+            # (and seed the growth gate with the restored live count —
+            # advisor r3 high: a near-threshold restore must not undercount)
+            total = sum(checkpoint.read_manifest(sub).get("counts", [0]))
+            cfg = self.table_cfgs[n]
+            while (
+                cfg.grow_at_load is not None
+                and total > cfg.grow_at_load * self.specs[n].capacity
+            ):
+                cfg = dataclasses.replace(cfg, capacity=cfg.capacity * 2)
+                self.table_cfgs[n] = cfg
+                self.specs[n] = TableSpec.from_config(cfg, num_shards=1)
+                self.shards[n] = alloc_shard(self.specs[n])
+                rebuilt = True
             shards, m = checkpoint.restore_shards(self.specs[n], sub, 1)
             self.shards[n] = shards[0]
+            self._live_upper[n] = total
             if i == 0 and "params" in m.get("dense", []):
                 self.params = checkpoint.load_dense(sub, "params", self.params)
                 self.opt_state = checkpoint.load_dense(
                     sub, "opt_state", self.opt_state
                 )
+        if rebuilt:
+            self._step_fn = self._build_step()
+            self._eval_fn = self._build_eval()
         self.step = manifest["step"]
         return manifest
 
@@ -305,6 +427,7 @@ class ShardedGroupTrainer:
         feature_map: Sequence[str],
         model_cfg: ModelConfig,
         mesh=None,
+        spill: Dict[str, object] = None,
     ):
         from collections import deque
 
@@ -318,10 +441,6 @@ class ShardedGroupTrainer:
             assert cfg.dim <= 128, (
                 f"table {name!r}: dim {cfg.dim} > 128 is single-table territory"
             )
-            assert cfg.grow_at_load is None and cfg.policy.evict_policy == "none", (
-                f"table {name!r}: growth/eviction maintenance is the "
-                f"single-table trainers' domain"
-            )
         self.mesh = mesh or make_mesh()
         self.S = self.mesh.shape[SHARD_AXIS]
         assert run_cfg.batch_size % self.S == 0, "global batch must divide the mesh"
@@ -329,6 +448,7 @@ class ShardedGroupTrainer:
         self.model_cfg = model_cfg
         self.names = sorted(table_cfgs)
         self.feature_map = list(feature_map)
+        self.table_cfgs = dict(table_cfgs)  # growth rebuilds specs from these
         self.specs = {
             n: TableSpec.from_config(table_cfgs[n], num_shards=self.S)
             for n in self.names
@@ -365,6 +485,22 @@ class ShardedGroupTrainer:
         self._bag_len = 1
         self._step_fn = None
         self._eval_fn = None
+        self.spill = dict(spill or {})
+        if self.spill:
+            from meepoembedding_tpu.tiering import SpillCodec
+
+            unknown_spill = set(self.spill) - set(self.names)
+            assert not unknown_spill, (
+                f"spill backends for unknown tables: {sorted(unknown_spill)}"
+            )
+            for n, be in self.spill.items():
+                w = SpillCodec(self.specs[n]).width
+                assert be.width == w, (
+                    f"table {n!r}: spill backend width {be.width} != codec {w}"
+                )
+        self._evict_cursors: Dict[str, int] = {}
+        self._live_upper = {n: 0 for n in self.names}
+        self.spilled_rows = {n: 0 for n in self.names}
 
     # --- step construction -----------------------------------------------------
     def _caps(self) -> Dict[str, int]:
@@ -527,9 +663,118 @@ class ShardedGroupTrainer:
             multihost.shard_batch(np.asarray(batch["label"], np.float32), self.mesh, ps),
         )
 
+    # --- growth / maintenance (per member table, sharded) ----------------------
+    def _replicated_sum(self, arr):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+        return int(jax.jit(jnp.sum, out_shardings=rep)(arr))
+
+    def _maybe_grow(self, ids: np.ndarray) -> None:
+        """Per-table distributed growth gate: host-side upper bound first,
+        replicated live-count fetch only near the threshold (the same
+        discipline as ShardedTrainer._maybe_grow)."""
+        L = ids.shape[2] if ids.ndim == 3 else 1
+        b = ids.shape[0] * max(1, jax.process_count())
+        for n in self.names:
+            cfg = self.table_cfgs[n]
+            if cfg.grow_at_load is None:
+                continue
+            incoming = b * L * len(self.table_features[n])
+            self._live_upper[n] += incoming
+            limit = cfg.grow_at_load * self.specs[n].capacity * self.S
+            if self._live_upper[n] <= limit:
+                continue
+            while True:
+                live = self._replicated_sum(self.stacked[n].cnt)
+                cfg = self.table_cfgs[n]
+                limit = cfg.grow_at_load * self.specs[n].capacity * self.S
+                if (live + incoming) <= limit:
+                    self._live_upper[n] = live + incoming
+                    break
+                self._grow_table(n)
+
+    def _grow_table(self, name: str) -> None:
+        """Double one member's per-shard capacity by S independent local
+        rehashes (owner routing is hash % S — capacity-independent — so rows
+        stay on their shard; zero collectives). Drains the pipeline first:
+        in-flight steps bind the old geometry."""
+        import dataclasses
+
+        from meepoembedding_tpu.parallel.trainer import (
+            addressable_shard_trees, alloc_stacked_shards, stacked_from_shards,
+        )
+        from meepoembedding_tpu.table.runtime import regrow_shard
+
+        self.flush()
+        old_spec = self.specs[name]
+        self.table_cfgs[name] = dataclasses.replace(
+            self.table_cfgs[name], capacity=self.table_cfgs[name].capacity * 2
+        )
+        self.specs[name] = TableSpec.from_config(
+            self.table_cfgs[name], num_shards=self.S
+        )
+        mine = addressable_shard_trees(self.stacked[name])
+        new_by_id = {
+            i: regrow_shard(old_spec, self.specs[name], sh, self.step)
+            for i, sh in mine.items()
+        }
+        self.stacked[name] = stacked_from_shards(
+            new_by_id, self.mesh, alloc_stacked_shards(self.specs[name], self.mesh)
+        )
+        self._build_step_fns()
+
+    def maintenance(self) -> dict:
+        """Eviction/spill tick per member table over the mesh: one shard_map
+        evict_pass per policied table (independent rotating cursors), spill
+        of THIS process's shards' exports. Promotion stays single-table."""
+        from jax.sharding import PartitionSpec as P
+
+        from meepoembedding_tpu.parallel import multihost
+        from meepoembedding_tpu.parallel import sharded_table as st
+        from meepoembedding_tpu.parallel.mesh import SHARD_AXIS
+        from meepoembedding_tpu.parallel.trainer import addressable_shard_trees
+
+        self.flush()
+        out = {}
+        for n in self.names:
+            spec = self.specs[n]
+            if spec.policy.evict_policy == "none":
+                out[n] = {"evicted": 0}
+                continue
+            evict = jax.shard_map(
+                lambda stacked, step, off, spec=spec: jax.tree.map(
+                    lambda a: a[None],
+                    xla_ops.evict_pass(
+                        spec, st.squeeze_shard(stacked), step, off
+                    ),
+                ),
+                mesh=self.mesh,
+                in_specs=(P(SHARD_AXIS), P(), P()),
+                out_specs=P(SHARD_AXIS),
+                check_vma=False,
+            )
+            off = self._evict_cursors.get(n, 0)
+            self._evict_cursors[n] = xla_ops.next_evict_cursor(spec, off)
+            self.stacked[n], export = jax.jit(evict, donate_argnums=(0,))(
+                self.stacked[n], jnp.int32(self.step), jnp.int32(off)
+            )
+            local = addressable_shard_trees(export)
+            total = sum(int(e.count) for e in local.values())
+            if total and n in self.spill:
+                from meepoembedding_tpu.tiering import SpillCodec, spill_export
+
+                codec = SpillCodec(spec)
+                for e in local.values():
+                    spill_export(codec, self.spill[n], e)
+                self.spilled_rows[n] += total
+            out[n] = {"evicted": int(multihost.all_processes_sum(total))}
+        return out
+
     # --- public API --------------------------------------------------------------
     def train_step(self, batch: dict) -> dict:
         self._maybe_build(np.asarray(batch["ids"]))
+        self._maybe_grow(np.asarray(batch["ids"]))
         dense, hi, lo, label = self._device_batch(batch)
         (
             self.stacked, self.params, self.opt_state, loss, logits, drops,
@@ -604,7 +849,12 @@ class ShardedGroupTrainer:
             rows = int(jax.jit(jnp.sum, out_shardings=rep)(self.stacked[n].cnt))
             out[n] = {
                 "hits": int(c[layout.HITS]), "misses": int(c[layout.MISSES]),
-                "inserts": int(c[layout.INSERTS]), "rows": rows,
+                "inserts": int(c[layout.INSERTS]),
+                "evictions": int(c[layout.EVICTIONS]),
+                "denied": int(c[layout.DENIED]),
+                "spills": self.spilled_rows[n],
+                "rows": rows,
+                "capacity": self.specs[n].capacity * self.S,
             }
         return out
 
@@ -663,8 +913,27 @@ class ShardedGroupTrainer:
             }
         )
         rep = NamedSharding(self.mesh, P())
+        import dataclasses
+
+        from meepoembedding_tpu.parallel.trainer import alloc_stacked_shards
+
+        rebuilt = False
         for i, n in enumerate(self.names):
             sub = os.path.join(path, manifest["tables"][n])
+            # growable members pre-grow to fit the checkpoint's live set and
+            # seed the growth gate with the restored live count (advisor r3)
+            total = sum(checkpoint.read_manifest(sub).get("counts", [0]))
+            cfg = self.table_cfgs[n]
+            while (
+                cfg.grow_at_load is not None
+                and total > cfg.grow_at_load * self.specs[n].capacity * self.S
+            ):
+                cfg = dataclasses.replace(cfg, capacity=cfg.capacity * 2)
+                self.table_cfgs[n] = cfg
+                self.specs[n] = TableSpec.from_config(cfg, num_shards=self.S)
+                self.stacked[n] = alloc_stacked_shards(self.specs[n], self.mesh)
+                rebuilt = True
+            self._live_upper[n] = total
             shards, m = checkpoint.restore_shards(
                 self.specs[n], sub, self.S, only_ids=set(my_ids)
             )
@@ -678,5 +947,7 @@ class ShardedGroupTrainer:
                 self.opt_state = jax.device_put(
                     checkpoint.load_dense(sub, "opt_state", self.opt_state), rep
                 )
+        if rebuilt and self._step_fn is not None:
+            self._build_step_fns()
         self.step = manifest["step"]
         return manifest
