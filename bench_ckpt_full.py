@@ -98,7 +98,20 @@ def main():
         return rows, acc, pr.found
 
     pre_rows, pre_acc, pre_found = map(np.asarray, read_rows(shard, jnp.asarray(sh), jnp.asarray(sl)))
-    assert pre_found.all(), "sample ids must all be live"
+    # prefill at 0.75 load with max_probe_rounds=2 drops a handful of inserts
+    # (~4e-6, same as bench.py's counted drops) — sample only live rows, and
+    # sanity-bound the miss rate so a real lookup bug can't hide behind it
+    n_missing = int((~pre_found).sum())
+    assert n_missing <= max(8, int(n_sample * 1e-4)), (
+        f"{n_missing}/{n_sample} sampled ids missing — beyond insert-drop noise"
+    )
+    if n_missing:
+        log(f"sample: {n_missing} ids were insert-drops at prefill; "
+            f"checking the {n_sample - n_missing} live rows")
+        keep = pre_found
+        sh, sl = sh[keep], sl[keep]
+        pre_rows, pre_acc, pre_found = pre_rows[keep], pre_acc[keep], pre_found[keep]
+        n_sample = int(pre_found.shape[0])
 
     t0 = time.perf_counter()
     manifest = checkpoint.save(ckpt_dir, spec, [shard], step=1)
