@@ -950,19 +950,34 @@ def cmd_ckpt_import(args) -> int:
     return 0 if imported == n else 4
 
 
-def cmd_ckpt_inspect(args) -> int:
+def _inspect_table_ckpt(path: str) -> dict:
     from meepoembedding_tpu import checkpoint
 
-    m = checkpoint.read_manifest(args.path)
-    out = dict(m)
+    out = dict(checkpoint.read_manifest(path))
     rows = 0
     freq_sum = 0
-    for data in checkpoint.iter_rows(args.path):
+    for data in checkpoint.iter_rows(path):
         rows += len(data["ids"])
         freq_sum += int(data["freq"].sum()) if len(data["ids"]) else 0
     out["total_rows"] = rows
     out["total_hits_recorded"] = freq_sum
-    print(json.dumps(out, indent=1))
+    return out
+
+
+def cmd_ckpt_inspect(args) -> int:
+    group_path = os.path.join(args.path, "group.json")
+    if os.path.exists(group_path):  # heterogeneous group checkpoint
+        with open(group_path) as f:
+            manifest = json.load(f)
+        out = dict(manifest)
+        out["tables"] = {
+            n: _inspect_table_ckpt(os.path.join(args.path, sub))
+            for n, sub in manifest["tables"].items()
+        }
+        out["total_rows"] = sum(t["total_rows"] for t in out["tables"].values())
+        print(json.dumps(out, indent=1))
+        return 0
+    print(json.dumps(_inspect_table_ckpt(args.path), indent=1))
     return 0
 
 

@@ -27,9 +27,10 @@ Maintenance is per member table: each table keeps its own rotating eviction
 cursor, optional spill backend, and online-growth gate (grow_at_load), so a
 small hot table can run LFU/TTL eviction while a large growable one doubles
 by rehash — independently, under one trainer. Promotion (cold->hot
-re-insert from the spill tier) remains the single-table trainers' domain:
-it needs per-table owner-side miss feeds that the fused group step does not
-export.
+re-insert from the spill tier) runs per member too: the fused group step
+exports each spill-backed table's miss set, an async PromotionEngine per
+table queries its cold tier off the critical path, and maintenance() drains
+the staged rows back into the owner shards.
 
 Checkpoint layout mirrors TableGroup: <path>/group.json + one elastic
 checkpoint subdir per table, plus the dense tower — every member remains
@@ -84,18 +85,21 @@ class GroupTrainer:
         }
         self.shards = {n: alloc_shard(self.specs[n]) for n in self.names}
         self.spill = dict(spill or {})
+        self._promoters: Dict[str, object] = {}
         if self.spill:
-            from meepoembedding_tpu.tiering import SpillCodec
+            from meepoembedding_tpu.tiering import PromotionEngine, SpillCodec
 
             unknown_spill = set(self.spill) - set(self.names)
             assert not unknown_spill, (
                 f"spill backends for unknown tables: {sorted(unknown_spill)}"
             )
             for n, be in self.spill.items():
-                w = SpillCodec(self.specs[n]).width
-                assert be.width == w, (
-                    f"table {n!r}: spill backend width {be.width} != codec {w}"
+                codec = SpillCodec(self.specs[n])
+                assert be.width == codec.width, (
+                    f"table {n!r}: spill backend width {be.width} != codec "
+                    f"{codec.width}"
                 )
+                self._promoters[n] = PromotionEngine(codec, be)
         self._evict_cursors: Dict[str, int] = {}
         self._live_upper = {n: 0 for n in self.names}
         self.spilled_rows = {n: 0 for n in self.names}
@@ -136,6 +140,7 @@ class GroupTrainer:
     def _build_step(self):
         names, specs = self.names, self.specs
         rc, mc = self.run_cfg, self.model_cfg
+        prom_names = tuple(sorted(self._promoters))
 
         @partial(jax.jit, donate_argnums=(0,))
         def step_fn(shards, params, opt_state, dense, hi, lo, label, step):
@@ -151,6 +156,11 @@ class GroupTrainer:
                 )
                 shards[n] = shard
                 uniqs[n], ctxs[n] = uniq, ctx
+            # per-table miss sets feed the async cold-tier promoters
+            miss = {
+                n: (uniqs[n].hi, uniqs[n].lo, uniqs[n].valid & ~ctxs[n].found)
+                for n in prom_names
+            }
 
             def loss_fn(params, g128s):
                 feats = []  # per-feature [B, dim_s], batch-column order
@@ -188,7 +198,7 @@ class GroupTrainer:
             lr = optim.schedule_lr(rc.lr_schedule, rc.dense_learning_rate,
                                    step, rc.steps, rc.warmup_steps)
             params, opt_state = optim.dense_adam_update(params, g_dense, opt_state, lr)
-            return shards, params, opt_state, loss, logits
+            return shards, params, opt_state, loss, logits, miss
 
         return step_fn
 
@@ -267,16 +277,44 @@ class GroupTrainer:
         self._step_fn = self._build_step()
         self._eval_fn = self._build_eval()
 
+    def _apply_promotions(self) -> Dict[str, int]:
+        """Drain each member's staged cold->hot promotions into its device
+        table (SURVEY.md §3.4 reverse path), exactly as
+        DynamicEmbeddingTable._apply_promotions does for one table."""
+        from meepoembedding_tpu.table.runtime import _insert
+
+        out = {}
+        for n, prm in self._promoters.items():
+            res = prm.drain()
+            if res is None:
+                out[n] = 0
+                continue
+            keys, state = res
+            hi, lo = hashing.split_ids(keys)
+            self.shards[n], _ = _insert(
+                self.specs[n], self.shards[n], jnp.asarray(hi), jnp.asarray(lo),
+                jnp.asarray(state["values"]), jnp.ones((len(keys),), bool),
+                jnp.int32(self.step), jnp.asarray(state["freq"]),
+                jnp.asarray(state["accum"]) if "accum" in state else None,
+                tuple(jnp.asarray(f) for f in state["fulldim"]),
+            )
+            # promoted rows are live rows _maybe_grow's incoming accounting
+            # never saw — bump the bound so the growth gate can't undercount
+            self._live_upper[n] += len(keys)
+            out[n] = len(keys)
+        return out
+
     def maintenance(self) -> dict:
-        """Eviction/spill tick per member table (SURVEY.md §3.4): the same
-        rotating-window evict_pass as train.Trainer.maintenance, with an
-        independent cursor and optional spill backend per table. Promotion
-        (cold->hot re-insert) remains the single-table trainers' domain."""
+        """Eviction/spill/promotion tick per member table (SURVEY.md §3.4):
+        the same rotating-window evict_pass as train.Trainer.maintenance,
+        with an independent cursor, optional spill backend, and async
+        promotion drain per table."""
+        promoted = self._apply_promotions()
         out = {}
         for n in self.names:
             spec = self.specs[n]
             if spec.policy.evict_policy == "none":
-                out[n] = {"evicted": 0}
+                out[n] = {"evicted": 0, "promoted": promoted.get(n, 0)}
                 continue
             off = self._evict_cursors.get(n, 0)
             self._evict_cursors[n] = xla_ops.next_evict_cursor(spec, off)
@@ -289,19 +327,21 @@ class GroupTrainer:
 
                 spill_export(SpillCodec(spec), self.spill[n], export)
                 self.spilled_rows[n] += cnt
-            out[n] = {"evicted": cnt}
+            out[n] = {"evicted": cnt, "promoted": promoted.get(n, 0)}
         return out
 
     # --- public API ------------------------------------------------------------
     def train_step(self, batch: dict) -> dict:
         self._maybe_grow(np.asarray(batch["ids"]))
         hi, lo = hashing.split_ids(batch["ids"])
-        self.shards, self.params, self.opt_state, loss, logits = self._step_fn(
+        self.shards, self.params, self.opt_state, loss, logits, miss = self._step_fn(
             self.shards, self.params, self.opt_state,
             jnp.asarray(batch["dense"]), jnp.asarray(hi), jnp.asarray(lo),
             jnp.asarray(batch["label"]), jnp.int32(self.step),
         )
         self.step += 1
+        for n, prm in self._promoters.items():
+            prm.feed(*miss[n])
         self.auc.update(logits, jnp.asarray(batch["label"]))
         return {"loss": float(loss)}
 
@@ -326,6 +366,9 @@ class GroupTrainer:
                 "evictions": int(c[layout.EVICTIONS]),
                 "denied": int(c[layout.DENIED]),
                 "spills": self.spilled_rows[n],
+                "promotes": (
+                    self._promoters[n].promoted if n in self._promoters else 0
+                ),
                 "rows": int(jnp.sum(self.shards[n].cnt)),
                 "capacity": self.specs[n].capacity,
             }
@@ -416,8 +459,11 @@ class ShardedGroupTrainer:
     Host-sync discipline matches ShardedTrainer: loss/logits/drops are
     fetched run_cfg.pipeline_depth steps late; flush() drains.
 
-    Excluded (same as single-device GroupTrainer): eviction/growth/spill
-    maintenance and dim > 128 tables.
+    Maintenance is per member table over the mesh: rotating-cursor eviction,
+    spill to each table's cold tier, growth-by-rehash, and async cold->hot
+    promotion (the step exports spill-backed tables' owner-side miss sets;
+    maintenance() drains the staged promotions into the owner shards).
+    Excluded (same as single-device GroupTrainer): dim > 128 tables.
     """
 
     def __init__(
@@ -486,18 +532,23 @@ class ShardedGroupTrainer:
         self._step_fn = None
         self._eval_fn = None
         self.spill = dict(spill or {})
+        self._promoters: Dict[str, object] = {}
+        self._promote_fns: Dict[str, object] = {}
+        self._promote_chunk = 1024
         if self.spill:
-            from meepoembedding_tpu.tiering import SpillCodec
+            from meepoembedding_tpu.tiering import PromotionEngine, SpillCodec
 
             unknown_spill = set(self.spill) - set(self.names)
             assert not unknown_spill, (
                 f"spill backends for unknown tables: {sorted(unknown_spill)}"
             )
             for n, be in self.spill.items():
-                w = SpillCodec(self.specs[n]).width
-                assert be.width == w, (
-                    f"table {n!r}: spill backend width {be.width} != codec {w}"
+                codec = SpillCodec(self.specs[n])
+                assert be.width == codec.width, (
+                    f"table {n!r}: spill backend width {be.width} != codec "
+                    f"{codec.width}"
                 )
+                self._promoters[n] = PromotionEngine(codec, be)
         self._evict_cursors: Dict[str, int] = {}
         self._live_upper = {n: 0 for n in self.names}
         self.spilled_rows = {n: 0 for n in self.names}
@@ -571,12 +622,26 @@ class ShardedGroupTrainer:
                 feats.append(per_table[fn][:, k])
             return feats
 
+        prom_names = tuple(sorted(self._promoters))
+
         def step_impl(stackeds, params, opt_state, dense, hi, lo, label, step):
             from jax import lax
 
             shards = {n: st.squeeze_shard(stackeds[n]) for n in names}
             shards, lookups, drops = lookup_all(shards, hi, lo, step, True)
             drops = lax.psum(drops, SHARD_AXIS)
+            # owner-side miss info per spill-backed table (promotion feed)
+            miss_outs = {
+                n: tuple(
+                    a[None]
+                    for a in (
+                        lookups[n][2].miss_hi,
+                        lookups[n][2].miss_lo,
+                        lookups[n][2].miss,
+                    )
+                )
+                for n in prom_names
+            }
 
             def loss_fn(params, emb_us):
                 feats = features(emb_us, lookups, hi, lo)
@@ -605,7 +670,7 @@ class ShardedGroupTrainer:
             params, opt_state = optim.dense_adam_update(params, g_dense, opt_state, lr)
             loss = lax.psum(loss, SHARD_AXIS)
             stackeds = {n: st.unsqueeze_shard(shards[n]) for n in names}
-            return stackeds, params, opt_state, loss, logits, drops
+            return stackeds, params, opt_state, loss, logits, drops, miss_outs
 
         def eval_impl(stackeds, params, dense, hi, lo, label):
             from jax import lax
@@ -628,7 +693,7 @@ class ShardedGroupTrainer:
             jax.shard_map(
                 step_impl, mesh=self.mesh,
                 in_specs=(sp, rp, rp, sp, sp, sp, sp, rp),
-                out_specs=(sp, rp, rp, rp, sp, rp),
+                out_specs=(sp, rp, rp, rp, sp, rp, sp),
                 check_vma=False,
             ),
             donate_argnums=(0,),
@@ -722,12 +787,41 @@ class ShardedGroupTrainer:
         self.stacked[name] = stacked_from_shards(
             new_by_id, self.mesh, alloc_stacked_shards(self.specs[name], self.mesh)
         )
+        self._promote_fns.pop(name, None)  # jit binds the old capacity
         self._build_step_fns()
 
+    def _apply_promotions(self) -> Dict[str, int]:
+        """Drain each member's staged cold->hot promotions into its owner
+        shards, via the same multi-process-safe padded-round insert as
+        ShardedTrainer._apply_promotions."""
+        from meepoembedding_tpu.parallel import multihost
+        from meepoembedding_tpu.parallel.trainer import (
+            drain_promotions, make_promote_insert,
+        )
+
+        out = {}
+        for n, prm in self._promoters.items():
+            fn = self._promote_fns.get(n)
+            if fn is None:
+                fn = self._promote_fns[n] = make_promote_insert(
+                    self.specs[n], self.mesh, self._promote_chunk
+                )
+            self.stacked[n], cnt = drain_promotions(
+                self.mesh, self.specs[n], self.stacked[n], prm, fn,
+                self._promote_chunk, self.step,
+            )
+            # promoted rows are live rows the growth gate never counted —
+            # bump the bound by the GLOBAL count so it can't undercount
+            g = int(multihost.all_processes_sum(cnt))
+            self._live_upper[n] += g
+            out[n] = g
+        return out
+
     def maintenance(self) -> dict:
-        """Eviction/spill tick per member table over the mesh: one shard_map
-        evict_pass per policied table (independent rotating cursors), spill
-        of THIS process's shards' exports. Promotion stays single-table."""
+        """Eviction/spill/promotion tick per member table over the mesh: one
+        shard_map evict_pass per policied table (independent rotating
+        cursors), spill of THIS process's shards' exports, then the async
+        promotion drain back into the owner shards."""
         from jax.sharding import PartitionSpec as P
 
         from meepoembedding_tpu.parallel import multihost
@@ -736,11 +830,12 @@ class ShardedGroupTrainer:
         from meepoembedding_tpu.parallel.trainer import addressable_shard_trees
 
         self.flush()
+        promoted = self._apply_promotions()
         out = {}
         for n in self.names:
             spec = self.specs[n]
             if spec.policy.evict_policy == "none":
-                out[n] = {"evicted": 0}
+                out[n] = {"evicted": 0, "promoted": promoted.get(n, 0)}
                 continue
             evict = jax.shard_map(
                 lambda stacked, step, off, spec=spec: jax.tree.map(
@@ -768,7 +863,10 @@ class ShardedGroupTrainer:
                 for e in local.values():
                     spill_export(codec, self.spill[n], e)
                 self.spilled_rows[n] += total
-            out[n] = {"evicted": int(multihost.all_processes_sum(total))}
+            out[n] = {
+                "evicted": int(multihost.all_processes_sum(total)),
+                "promoted": promoted.get(n, 0),
+            }
         return out
 
     # --- public API --------------------------------------------------------------
@@ -778,6 +876,7 @@ class ShardedGroupTrainer:
         dense, hi, lo, label = self._device_batch(batch)
         (
             self.stacked, self.params, self.opt_state, loss, logits, drops,
+            miss,
         ) = self._step_fn(
             self.stacked, self.params, self.opt_state, dense, hi, lo, label,
             jnp.int32(self.step),
@@ -786,6 +885,7 @@ class ShardedGroupTrainer:
         self._pending.append({
             "step": self.step - 1, "loss": loss, "drops": drops,
             "logits": logits, "labels": np.asarray(batch["label"]),
+            "miss": miss,
         })
         while len(self._pending) > self.pipeline_depth:
             self._retire(self._pending.popleft())
@@ -793,6 +893,15 @@ class ShardedGroupTrainer:
                 "in_flight": len(self._pending)}
 
     def _retire(self, ent: dict) -> None:
+        # feed THIS process's shards' misses to each member's promoter; the
+        # worker thread fetches and queries the cold tier off the step path
+        for n, prm in self._promoters.items():
+            mh, ml, mm = ent["miss"][n]
+            for shh, shl, shm in zip(
+                mh.addressable_shards, ml.addressable_shards,
+                mm.addressable_shards,
+            ):
+                prm.feed(shh.data[0], shl.data[0], shm.data[0])
         if int(ent["drops"]) and ent["step"] >= self._resized_at:
             import logging
 
@@ -853,6 +962,9 @@ class ShardedGroupTrainer:
                 "evictions": int(c[layout.EVICTIONS]),
                 "denied": int(c[layout.DENIED]),
                 "spills": self.spilled_rows[n],
+                "promotes": (
+                    self._promoters[n].promoted if n in self._promoters else 0
+                ),
                 "rows": rows,
                 "capacity": self.specs[n].capacity * self.S,
             }
@@ -947,7 +1059,9 @@ class ShardedGroupTrainer:
                 self.opt_state = jax.device_put(
                     checkpoint.load_dense(sub, "opt_state", self.opt_state), rep
                 )
-        if rebuilt and self._step_fn is not None:
-            self._build_step_fns()
+        if rebuilt:
+            self._promote_fns.clear()  # jits bind pre-restore capacities
+            if self._step_fn is not None:
+                self._build_step_fns()
         self.step = manifest["step"]
         return manifest

@@ -236,6 +236,114 @@ def make_promote_insert(spec: TableSpec, mesh, chunk: int):
     return jax.jit(fn, donate_argnums=(0,))
 
 
+def stacked_batch(mesh, per_shard_fn, shape_tail, dtype):
+    """Per-shard host arrays -> one global [S, ...] array sharded over the
+    mesh (multi-process safe: each process contributes only its shards)."""
+    S = mesh.shape[SHARD_AXIS]
+    sharding = NamedSharding(mesh, P(SHARD_AXIS))
+    gshape = (S,) + tuple(shape_tail)
+    dev_map = sharding.addressable_devices_indices_map(gshape)
+    singles = []
+    for dev, idx in dev_map.items():
+        i = idx[0].start
+        i = 0 if i is None else int(i)
+        singles.append(
+            jax.device_put(np.asarray(per_shard_fn(i), dtype)[None], dev)
+        )
+    return jax.make_array_from_single_device_arrays(gshape, sharding, singles)
+
+
+def drain_promotions(mesh, spec, stacked, promoter, promote_fn, chunk, step):
+    """Drain one PromotionEngine into its owner shards: bucket the staged
+    keys by owner, pad per-shard [chunk] rounds, run the jitted insert.
+    Multi-process safe: every process executes the same number of insert
+    rounds (agreed via all_processes_max), with empty padded batches where
+    it has nothing. Returns (stacked', promoted_count). Shared by
+    ShardedTrainer and ShardedGroupTrainer (per member table)."""
+    S = mesh.shape[SHARD_AXIS]
+    dim = spec.dim
+    out = promoter.drain()
+    keys, state = out if out is not None else (np.zeros((0,), np.int64), None)
+    per = {s: np.zeros((0,), np.int64) for s in range(S)}
+    if len(keys):
+        hi_np, lo_np = hashing.split_ids(keys)
+        owner = np.asarray(
+            hashing.owner_of(jnp.asarray(hi_np), jnp.asarray(lo_np), S)
+        )
+        per = {s: np.nonzero(owner == s)[0] for s in range(S)}
+    max_cnt = max((len(v) for v in per.values()), default=0)
+    rounds = int(multihost.all_processes_max(-(-max_cnt // chunk)))
+    if rounds == 0:
+        return stacked, 0
+    n_full = spec.optimizer.num_fulldim_slots()
+    n_row = spec.optimizer.num_rowwise_slots()
+    promoted = 0
+    for r in range(rounds):
+        inserted = [0]
+
+        def rnd(s):
+            return per[s][r * chunk : (r + 1) * chunk]
+
+        def pad1(vals_fn, fill, s):
+            idx = rnd(s)
+            out = np.full((chunk,), fill)
+            if len(idx):
+                out[: len(idx)] = vals_fn(idx)
+            return out
+
+        def pad2(vals_fn, s):
+            idx = rnd(s)
+            out = np.zeros((chunk, dim))
+            if len(idx):
+                out[: len(idx)] = vals_fn(idx)
+            return out
+
+        hi_b = stacked_batch(
+            mesh, lambda s: pad1(lambda i: hi_np[i], hashing.EMPTY_HI, s),
+            (chunk,), np.int32,
+        )
+        lo_b = stacked_batch(
+            mesh, lambda s: pad1(lambda i: lo_np[i], hashing.EMPTY_LO, s),
+            (chunk,), np.int32,
+        )
+        rows_b = stacked_batch(
+            mesh, lambda s: pad2(lambda i: state["values"][i], s), (chunk, dim),
+            np.float32,
+        )
+
+        def vmask(s):
+            n = len(rnd(s))
+            inserted[0] += n
+            v = np.zeros((chunk,), bool)
+            v[:n] = True
+            return v
+
+        valid_b = stacked_batch(mesh, vmask, (chunk,), bool)
+        freq_b = stacked_batch(
+            mesh, lambda s: pad1(lambda i: state["freq"][i], 0, s), (chunk,),
+            np.int32,
+        )
+        accum_b = stacked_batch(
+            mesh,
+            lambda s: pad1(lambda i: state["accum"][i], 0.0, s)
+            if n_row else np.zeros((chunk,)),
+            (chunk,), np.float32,
+        )
+        fulldim_b = tuple(
+            stacked_batch(
+                mesh, lambda s, j=j: pad2(lambda i: state["fulldim"][j][i], s),
+                (chunk, dim), np.float32,
+            )
+            for j in range(n_full)
+        )
+        stacked = promote_fn(
+            stacked, hi_b, lo_b, rows_b, valid_b, freq_b, accum_b,
+            fulldim_b, jnp.int32(step),
+        )
+        promoted += inserted[0]
+    return stacked, promoted
+
+
 def alloc_stacked_shards(spec: TableSpec, mesh) -> "TableShard":
     """Empty per-device shards, stacked on a leading sharded axis. All shards
     start identical, so a broadcast placed with the right sharding suffices."""
@@ -553,108 +661,22 @@ class ShardedTrainer:
         return int(removed)
 
     def _stacked_batch(self, per_shard_fn, shape_tail, dtype):
-        """Per-shard host arrays -> one global [S, ...] array sharded over the
-        mesh (multi-process safe: each process contributes only its shards)."""
-        sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
-        gshape = (self.S,) + tuple(shape_tail)
-        dev_map = sharding.addressable_devices_indices_map(gshape)
-        singles = []
-        for dev, idx in dev_map.items():
-            i = idx[0].start
-            i = 0 if i is None else int(i)
-            singles.append(
-                jax.device_put(np.asarray(per_shard_fn(i), dtype)[None], dev)
-            )
-        return jax.make_array_from_single_device_arrays(gshape, sharding, singles)
+        return stacked_batch(self.mesh, per_shard_fn, shape_tail, dtype)
 
     def _apply_promotions(self) -> int:
         """Drain staged cold->hot promotions into their owner shards
         (SURVEY.md §3.4 reverse path). Runs at maintenance cadence, so
-        promotion latency is the maintenance interval. Multi-process safe:
-        every process executes the same number of insert rounds (agreed via
-        all_processes_max), with empty padded batches where it has nothing."""
+        promotion latency is the maintenance interval."""
         if self._promoter is None:
             return 0
-        out = self._promoter.drain()
-        keys, state = out if out is not None else (np.zeros((0,), np.int64), None)
-        S, chunk, dim = self.S, self._promote_chunk, self.spec.dim
-        per = {s: np.zeros((0,), np.int64) for s in range(S)}
-        if len(keys):
-            hi_np, lo_np = hashing.split_ids(keys)
-            owner = np.asarray(
-                hashing.owner_of(jnp.asarray(hi_np), jnp.asarray(lo_np), S)
-            )
-            per = {s: np.nonzero(owner == s)[0] for s in range(S)}
-        max_cnt = max((len(v) for v in per.values()), default=0)
-        rounds = int(multihost.all_processes_max(-(-max_cnt // chunk)))
-        if rounds == 0:
-            return 0
         if self._promote_fn is None:
-            self._promote_fn = make_promote_insert(self.spec, self.mesh, chunk)
-        n_full = self.spec.optimizer.num_fulldim_slots()
-        n_row = self.spec.optimizer.num_rowwise_slots()
-        promoted = 0
-        for r in range(rounds):
-            inserted = [0]
-
-            def rnd(s):
-                return per[s][r * chunk : (r + 1) * chunk]
-
-            def pad1(vals_fn, fill, s):
-                idx = rnd(s)
-                out = np.full((chunk,), fill)
-                if len(idx):
-                    out[: len(idx)] = vals_fn(idx)
-                return out
-
-            def pad2(vals_fn, s):
-                idx = rnd(s)
-                out = np.zeros((chunk, dim))
-                if len(idx):
-                    out[: len(idx)] = vals_fn(idx)
-                return out
-
-            hi_b = self._stacked_batch(
-                lambda s: pad1(lambda i: hi_np[i], hashing.EMPTY_HI, s),
-                (chunk,), np.int32,
+            self._promote_fn = make_promote_insert(
+                self.spec, self.mesh, self._promote_chunk
             )
-            lo_b = self._stacked_batch(
-                lambda s: pad1(lambda i: lo_np[i], hashing.EMPTY_LO, s),
-                (chunk,), np.int32,
-            )
-            rows_b = self._stacked_batch(
-                lambda s: pad2(lambda i: state["values"][i], s), (chunk, dim),
-                np.float32,
-            )
-
-            def vmask(s):
-                n = len(rnd(s))
-                inserted[0] += n
-                v = np.zeros((chunk,), bool)
-                v[:n] = True
-                return v
-
-            valid_b = self._stacked_batch(vmask, (chunk,), bool)
-            freq_b = self._stacked_batch(
-                lambda s: pad1(lambda i: state["freq"][i], 0, s), (chunk,), np.int32
-            )
-            accum_b = self._stacked_batch(
-                lambda s: pad1(lambda i: state["accum"][i], 0.0, s)
-                if n_row else np.zeros((chunk,)),
-                (chunk,), np.float32,
-            )
-            fulldim_b = tuple(
-                self._stacked_batch(
-                    lambda s, j=j: pad2(lambda i: state["fulldim"][j][i], s),
-                    (chunk, dim), np.float32,
-                )
-                for j in range(n_full)
-            )
-            self.stacked = self._promote_fn(
-                self.stacked, hi_b, lo_b, rows_b, valid_b, freq_b, accum_b,
-                fulldim_b, jnp.int32(self.step),
-            )
-            promoted += inserted[0]
+        self.stacked, promoted = drain_promotions(
+            self.mesh, self.spec, self.stacked, self._promoter,
+            self._promote_fn, self._promote_chunk, self.step,
+        )
         # promotions add live rows outside train_step's incoming accounting;
         # bump the growth gate's upper bound by the GLOBAL promoted count so
         # _maybe_grow never undercounts (advisor r3 high finding).

@@ -166,3 +166,127 @@ def test_sharded_group_counters_include_capacity(mesh):
     c = tr.counters()
     for n in ("user", "item"):
         assert "evictions" in c[n] and "capacity" in c[n]
+
+def _promote_tables():
+    return {
+        "user": TableConfig(
+            dim=16, capacity=1 << 12, initializer_scale=0.02,
+            optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.05),
+        ),
+        "item": TableConfig(
+            dim=8, capacity=1 << 12, initializer_scale=0.02,
+            policy=PolicyConfig(evict_policy="ttl", ttl_steps=3,
+                                max_evict_per_pass=1 << 10),
+        ),
+    }
+
+
+def _cold_batch(rng, item_ids, b=64):
+    """Both item columns carry the given ids (shared-table dedup)."""
+    return {
+        "ids": np.stack(
+            [rng.integers(0, 500, size=b), item_ids[:b], item_ids[:b]], axis=1
+        ).astype(np.int64),
+        "dense": rng.normal(size=(b, 4)).astype(np.float32),
+        "label": rng.integers(0, 2, size=b).astype(np.float32),
+    }
+
+
+def test_group_evict_spill_promote_roundtrip():
+    """A group member's cold tier must be bidirectional: evict -> spill ->
+    re-touch -> promoted state bit-equal (value + freq), per member table."""
+    from meepoembedding_tpu import checkpoint
+
+    tables = _promote_tables()
+    spill = _spill_for(tables, ["item"])
+    run = RunConfig(batch_size=64, steps=2, dense_learning_rate=3e-3)
+    tr = GroupTrainer(run, tables, FEATURE_MAP, MODEL, spill=spill)
+    rng = np.random.default_rng(7)
+    cold = np.arange(1, 65, dtype=np.int64) * 7919
+
+    def state():
+        arrs = checkpoint.export_shard_arrays(tr.specs["item"], tr.shards["item"])
+        return {
+            int(k): (arrs["values"][j].copy(), int(arrs["freq"][j]))
+            for j, k in enumerate(arrs["ids"])
+        }
+
+    for _ in range(2):
+        tr.train_step(_cold_batch(rng, cold))
+    before = state()
+    assert set(before) == set(map(int, cold))
+
+    hot = np.arange(1, 65, dtype=np.int64) * 104729 + 10**12
+    for _ in range(5):
+        tr.train_step(_cold_batch(rng, hot))
+    out = tr.maintenance()
+    assert out["item"]["evicted"] >= len(cold)
+    _, found = spill["item"].lookup_batch(cold)
+    assert found.all()
+
+    tr.train_step(_cold_batch(rng, cold))  # misses feed the item promoter
+    tr._promoters["item"].flush()
+    out = tr.maintenance()
+    assert out["item"]["promoted"] >= len(cold)
+    assert out["user"]["promoted"] == 0
+    after = state()
+    for k in map(int, cold):
+        np.testing.assert_array_equal(after[k][0], before[k][0])
+        assert after[k][1] == before[k][1]
+    assert tr.counters()["item"]["promotes"] >= len(cold)
+    _, found = spill["item"].lookup_batch(cold)
+    assert not found.any()  # promoted rows were erased from the cold tier
+
+
+def test_sharded_group_evict_spill_promote_roundtrip(mesh):
+    """Same roundtrip with the member sharded over the mesh: the step exports
+    owner-side miss sets, maintenance drains promotions into owner shards."""
+    from meepoembedding_tpu import checkpoint
+    from meepoembedding_tpu.parallel.trainer import addressable_shard_trees
+
+    tables = _promote_tables()
+    spec_probe = TableSpec.from_config(tables["item"], num_shards=8)
+    spill = {"item": make_backend("host", width=SpillCodec(spec_probe).width)}
+    run = RunConfig(batch_size=64, steps=2, dense_learning_rate=3e-3,
+                    pipeline_depth=2)
+    tr = ShardedGroupTrainer(run, tables, FEATURE_MAP, MODEL, mesh=mesh,
+                             spill=spill)
+    rng = np.random.default_rng(8)
+    cold = np.arange(1, 65, dtype=np.int64) * 7919
+
+    def state():
+        out = {}
+        for sh in addressable_shard_trees(tr.stacked["item"]).values():
+            arrs = checkpoint.export_shard_arrays(tr.specs["item"], sh)
+            for j, k in enumerate(arrs["ids"]):
+                out[int(k)] = (arrs["values"][j].copy(), int(arrs["freq"][j]))
+        return out
+
+    for _ in range(2):
+        tr.train_step(_cold_batch(rng, cold))
+    tr.flush()
+    before = state()
+    assert set(before) == set(map(int, cold))
+
+    hot = np.arange(1, 65, dtype=np.int64) * 104729 + 10**12
+    for _ in range(5):
+        tr.train_step(_cold_batch(rng, hot))
+    out = tr.maintenance()
+    assert out["item"]["evicted"] >= len(cold)
+    _, found = spill["item"].lookup_batch(cold)
+    assert found.all()
+
+    tr.train_step(_cold_batch(rng, cold))
+    tr.flush()  # retire feeds the promoter
+    tr._promoters["item"].flush()
+    gate_before = tr._live_upper["item"]
+    out = tr.maintenance()
+    assert out["item"]["promoted"] >= len(cold)
+    assert tr._live_upper["item"] >= gate_before + out["item"]["promoted"]
+    after = state()
+    for k in map(int, cold):
+        np.testing.assert_array_equal(after[k][0], before[k][0])
+        assert after[k][1] == before[k][1]
+    assert tr.counters()["item"]["promotes"] >= len(cold)
+    _, found = spill["item"].lookup_batch(cold)
+    assert not found.any()
