@@ -330,6 +330,21 @@ class GroupTrainer:
             out[n] = {"evicted": cnt, "promoted": promoted.get(n, 0)}
         return out
 
+    def remove(self, name: str, ids64: np.ndarray) -> int:
+        """Explicit key removal from one member table (TF lookuptable
+        `remove` semantics, per member — runtime.remove's group analog).
+        Absent keys are a no-op; returns how many were actually removed."""
+        from meepoembedding_tpu.table.runtime import _erase
+
+        uniq = np.unique(np.asarray(ids64, np.int64))
+        hi, lo = hashing.split_ids(uniq)
+        valid = jnp.asarray(hashing.is_valid(hi, lo))
+        self.shards[name], found = _erase(
+            self.specs[name], self.shards[name], jnp.asarray(hi),
+            jnp.asarray(lo), valid,
+        )
+        return int(jnp.sum(found))
+
     # --- public API ------------------------------------------------------------
     def train_step(self, batch: dict) -> dict:
         self._maybe_grow(np.asarray(batch["ids"]))
@@ -550,6 +565,7 @@ class ShardedGroupTrainer:
                 )
                 self._promoters[n] = PromotionEngine(codec, be)
         self._evict_cursors: Dict[str, int] = {}
+        self._erase_fns: Dict[tuple, object] = {}
         self._live_upper = {n: 0 for n in self.names}
         self.spilled_rows = {n: 0 for n in self.names}
 
@@ -788,6 +804,9 @@ class ShardedGroupTrainer:
             new_by_id, self.mesh, alloc_stacked_shards(self.specs[name], self.mesh)
         )
         self._promote_fns.pop(name, None)  # jit binds the old capacity
+        self._erase_fns = {
+            k: v for k, v in self._erase_fns.items() if k[0] != name
+        }
         self._build_step_fns()
 
     def _apply_promotions(self) -> Dict[str, int]:
@@ -868,6 +887,48 @@ class ShardedGroupTrainer:
                 "promoted": promoted.get(n, 0),
             }
         return out
+
+    def remove(self, name: str, ids64: np.ndarray) -> int:
+        """Distributed explicit key removal from one member table: ids route
+        to their owner shards over the a2a and each key is erased on exactly
+        one owner (ShardedTrainer.remove's group analog). Returns the global
+        removed count; any process may call this with any id set."""
+        from meepoembedding_tpu.parallel import sharded_table as st
+        from meepoembedding_tpu.parallel.mesh import SHARD_AXIS
+        from meepoembedding_tpu.table.layout import LANES
+
+        self.flush()  # in-flight steps bind (and donate) the current planes
+        uniq = np.unique(np.asarray(ids64, np.int64))
+        n = max(LANES, 1 << max(0, (len(uniq) - 1).bit_length()))
+        ids = np.full((n,), hashing.EMPTY_ID, np.int64)
+        ids[: len(uniq)] = uniq
+        hi, lo = hashing.split_ids(ids)
+        fn = self._erase_fns.get((name, n))
+        if fn is None:
+            from jax.sharding import PartitionSpec as P
+
+            spec = self.specs[name]
+            cap = st.a2a_capacity(n, self.S, self.a2a_factor)
+
+            def impl(stacked, hi, lo):
+                shard = st.squeeze_shard(stacked)
+                valid = hashing.is_valid(hi, lo)
+                shard, removed = st.exchange_erase(
+                    spec, shard, hi, lo, valid, SHARD_AXIS, cap
+                )
+                return st.unsqueeze_shard(shard), removed
+
+            fn = jax.jit(jax.shard_map(
+                impl, mesh=self.mesh,
+                in_specs=(P(SHARD_AXIS), P(), P()),
+                out_specs=(P(SHARD_AXIS), P()),
+                check_vma=False,
+            ), donate_argnums=(0,))
+            self._erase_fns[(name, n)] = fn
+        self.stacked[name], removed = fn(
+            self.stacked[name], jnp.asarray(hi), jnp.asarray(lo)
+        )
+        return int(removed)
 
     # --- public API --------------------------------------------------------------
     def train_step(self, batch: dict) -> dict:
@@ -1061,6 +1122,7 @@ class ShardedGroupTrainer:
                 )
         if rebuilt:
             self._promote_fns.clear()  # jits bind pre-restore capacities
+            self._erase_fns.clear()
             if self._step_fn is not None:
                 self._build_step_fns()
         self.step = manifest["step"]

@@ -290,3 +290,41 @@ def test_sharded_group_evict_spill_promote_roundtrip(mesh):
     assert tr.counters()["item"]["promotes"] >= len(cold)
     _, found = spill["item"].lookup_batch(cold)
     assert not found.any()
+
+
+def test_group_remove_member_keys():
+    """remove(name, ids): erased keys free their slots in exactly that
+    member; absent keys are a no-op (TF lookuptable remove semantics)."""
+    tables = _promote_tables()
+    run = RunConfig(batch_size=64, steps=2, dense_learning_rate=3e-3)
+    tr = GroupTrainer(run, tables, FEATURE_MAP, MODEL)
+    rng = np.random.default_rng(11)
+    ids = np.arange(1, 65, dtype=np.int64) * 31
+    for _ in range(2):
+        tr.train_step(_cold_batch(rng, ids))
+    rows0 = tr.counters()["item"]["rows"]
+    user_rows0 = tr.counters()["user"]["rows"]
+    removed = tr.remove("item", ids[:32])
+    assert removed == 32
+    assert tr.counters()["item"]["rows"] == rows0 - 32
+    assert tr.counters()["user"]["rows"] == user_rows0
+    assert tr.remove("item", np.array([10**15], np.int64)) == 0
+
+
+def test_sharded_group_remove_member_keys(mesh):
+    tables = _promote_tables()
+    run = RunConfig(batch_size=64, steps=2, dense_learning_rate=3e-3,
+                    pipeline_depth=2)
+    tr = ShardedGroupTrainer(run, tables, FEATURE_MAP, MODEL, mesh=mesh)
+    rng = np.random.default_rng(12)
+    ids = np.arange(1, 65, dtype=np.int64) * 31
+    for _ in range(2):
+        tr.train_step(_cold_batch(rng, ids))
+    rows0 = tr.counters()["item"]["rows"]
+    removed = tr.remove("item", ids[:32])
+    assert removed == 32
+    assert tr.counters()["item"]["rows"] == rows0 - 32
+    # removed ids re-insert cleanly on next touch
+    tr.train_step(_cold_batch(rng, ids))
+    tr.flush()
+    assert tr.counters()["item"]["rows"] == rows0
