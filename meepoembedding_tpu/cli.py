@@ -607,6 +607,73 @@ def cmd_bench_update(args) -> int:
     return _bench_table(args, update=True)
 
 
+def _serve_latency_line(lat_ms, batch_size) -> None:
+    """End-of-run per-batch latency stats on stderr (stdout stays one JSON
+    prediction line per batch — the stable contract)."""
+    if not lat_ms:
+        return
+    a = np.asarray(lat_ms[1:] or lat_ms)  # drop compile batch
+    print(json.dumps({
+        "serve_latency_ms": {
+            "p50": round(float(np.percentile(a, 50)), 2),
+            "p95": round(float(np.percentile(a, 95)), 2),
+            "p99": round(float(np.percentile(a, 99)), 2),
+            "mean": round(float(a.mean()), 2),
+        },
+        "batch_size": batch_size,
+        "batches": len(lat_ms),
+    }), file=sys.stderr)
+
+
+def _serve_group(args, run_cfg, tables, feature_map, model_cfg) -> int:
+    """Batch scoring from a heterogeneous `tables:` group checkpoint:
+    restore every member (+ the dense tower) and stream batches through the
+    group eval step (probe-only lookups — serving semantics: unknown ids
+    score with zero embeddings). --distributed restores the members
+    row-sharded over the local mesh and scores via the per-table a2a."""
+    import jax
+
+    if getattr(args, "http", 0):
+        raise SystemExit(
+            "serve --http is single-table (ScoringService); use batch mode "
+            "for `tables:` group checkpoints"
+        )
+    stream = make_train_stream(
+        args.data, run_cfg, model_cfg, jax.process_index(),
+        jax.process_count(), bag_len=getattr(args, "bag_len", 1),
+    )
+    if getattr(args, "distributed", False) and jax.device_count() > 1:
+        from meepoembedding_tpu.group_train import ShardedGroupTrainer
+
+        tr = ShardedGroupTrainer(run_cfg, tables, feature_map, model_cfg)
+    else:
+        from meepoembedding_tpu.group_train import GroupTrainer
+
+        tr = GroupTrainer(run_cfg, tables, feature_map, model_cfg)
+    tr.load_checkpoint(args.ckpt)
+    lat_ms = []
+    for i, batch in enumerate(stream.batches(run_cfg.steps)):
+        t0 = time.perf_counter()
+        out = tr.eval_step(batch)
+        logits = out["logits"]
+        if hasattr(logits, "addressable_shards"):
+            logits = np.concatenate([
+                np.asarray(s.data) for s in sorted(
+                    logits.addressable_shards,
+                    key=lambda s: s.index[0].start or 0,
+                )
+            ])
+        p = 1.0 / (1.0 + np.exp(-np.asarray(logits, np.float64)))
+        lat_ms.append((time.perf_counter() - t0) * 1e3)
+        print(json.dumps({
+            "batch": i,
+            "mean_score": float(np.mean(p)),
+            "scores": p[: args.emit].round(6).tolist(),
+        }))
+    _serve_latency_line(lat_ms, run_cfg.batch_size)
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Batch scoring from a checkpoint (the serving half of README.md:2's
     'recommendation, search, CTR and advertising systems'): restore the
@@ -614,10 +681,14 @@ def cmd_serve(args) -> int:
     batch plus end-of-run latency stats (p50/p95/p99 per batch). Lookups
     are train=False (no insert-on-miss; unknown ids score with zero
     embeddings). --distributed restores the table row-sharded over ALL
-    local devices and serves through the all-to-all exchange path."""
+    local devices and serves through the all-to-all exchange path. A
+    `tables:` group config serves the heterogeneous group checkpoint."""
     import jax
     import jax.numpy as jnp
 
+    grp = load_group_configs(args.config, args.set)
+    if grp is not None:  # heterogeneous multi-table checkpoint (group.json)
+        return _serve_group(args, *grp)
     run_cfg, table_cfg, model_cfg = load_configs(args.config, args.set)
     model_cfg = dataclasses.replace(model_cfg, embedding_dim=table_cfg.dim)
     if getattr(args, "http", 0):
@@ -726,20 +797,7 @@ def cmd_serve(args) -> int:
                 "mean_score": float(np.mean(p)),
                 "scores": p[: args.emit].round(6).tolist(),
             }))
-    if lat_ms:
-        a = np.asarray(lat_ms[1:] or lat_ms)  # drop compile batch
-        log_line = {
-            "serve_latency_ms": {
-                "p50": round(float(np.percentile(a, 50)), 2),
-                "p95": round(float(np.percentile(a, 95)), 2),
-                "p99": round(float(np.percentile(a, 99)), 2),
-                "mean": round(float(a.mean()), 2),
-            },
-            "batch_size": run_cfg.batch_size,
-            "batches": len(lat_ms),
-        }
-        # stderr: stdout stays one JSON line per batch (stable contract)
-        print(json.dumps(log_line), file=sys.stderr)
+    _serve_latency_line(lat_ms, run_cfg.batch_size)
     return 0
 
 

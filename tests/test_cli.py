@@ -571,6 +571,27 @@ model: {num_dense_features: 4, top_mlp: [16, 1]}
     assert out.returncode == 0, out.stderr[-2000:]
     assert json.loads(out.stdout.strip().splitlines()[-1])["steps"] == 5
     assert (tmp_path / "gck-sharded" / "group.json").exists()
+    # batch serving restores the group checkpoint and scores (one JSON
+    # prediction line per batch; --http is rejected for groups)
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "serve",
+         "--config", str(cfg), "--ckpt", str(tmp_path / "gck"),
+         "--data", "synthetic", "--set", "run.steps=2", "--emit", "2"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert len(lines) == 2 and all(0.0 <= s <= 1.0 for l in lines
+                                   for s in l["scores"])
+    assert "serve_latency_ms" in out.stderr
+    out = subprocess.run(
+        [sys.executable, "-m", "meepoembedding_tpu", "serve",
+         "--config", str(cfg), "--ckpt", str(tmp_path / "gck"),
+         "--data", "synthetic", "--http", "18099"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode != 0 and "single-table" in out.stderr
+
     out = subprocess.run(
         [sys.executable, "-m", "meepoembedding_tpu", "train",
          "--config", str(cfg), "--data", "synthetic",
