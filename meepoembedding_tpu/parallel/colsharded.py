@@ -302,6 +302,7 @@ class ColShardedTrainer:
         self._auto_ucap = run_cfg.unique_cap is None
         self._bag_len = 1
         self._model_cfg = model_cfg
+        self._erase_fns = {}
         self._build_step_fns()
 
     def _device_batch(self, batch):
@@ -377,7 +378,45 @@ class ColShardedTrainer:
         self.stacked = stacked_from_shards2(
             new_by_sc, self.mesh, alloc_col_stacked(self.spec_local, self.mesh)
         )
+        self._erase_fns = {}  # jits bind the old capacity
         self._build_step_fns()
+
+    def remove(self, ids64: np.ndarray) -> int:
+        """Distributed explicit key removal on the 2-D layout
+        (ShardedTrainer.remove's analog): ids route to their owner ROW
+        shards over the a2a; every column shard erases the same slots in
+        lockstep — key planes stay identical across 'c' by determinism and
+        each column frees its own lane block. Returns the global count."""
+        from meepoembedding_tpu.table.layout import LANES
+
+        self.flush()  # in-flight steps bind (and donate) the current planes
+        uniq = np.unique(np.asarray(ids64, np.int64))
+        n = max(LANES, 1 << max(0, (len(uniq) - 1).bit_length()))
+        ids = np.full((n,), hashing.EMPTY_ID, np.int64)
+        ids[: len(uniq)] = uniq
+        hi, lo = hashing.split_ids(ids)
+        fn = self._erase_fns.get(n)
+        if fn is None:
+            spec_l = self.spec_local
+            cap = st.a2a_capacity(n, self.S, self.run_cfg.a2a_factor)
+
+            def impl(stacked, hi, lo):
+                shard = _squeeze2(stacked)
+                valid = hashing.is_valid(hi, lo)
+                shard, removed = st.exchange_erase(
+                    spec_l, shard, hi, lo, valid, SHARD_AXIS, cap
+                )
+                return _unsqueeze2(shard), removed
+
+            fn = jax.jit(jax.shard_map(
+                impl, mesh=self.mesh,
+                in_specs=(P(SHARD_AXIS, COL_AXIS), P(), P()),
+                out_specs=(P(SHARD_AXIS, COL_AXIS), P()),
+                check_vma=False,
+            ), donate_argnums=(0,))
+            self._erase_fns[n] = fn
+        self.stacked, removed = fn(self.stacked, jnp.asarray(hi), jnp.asarray(lo))
+        return int(removed)
 
     def train_step(self, batch: dict) -> dict:
         self._maybe_grow_ucap(np.asarray(batch["ids"]))
@@ -509,6 +548,7 @@ class ColShardedTrainer:
             grew = True
         if grew:
             self.stacked = alloc_col_stacked(self.spec_local, self.mesh)
+            self._erase_fns = {}  # jits bind the pre-restore capacity
             self._build_step_fns()
 
         sharding = NamedSharding(self.mesh, P(SHARD_AXIS, COL_AXIS))

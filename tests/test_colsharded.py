@@ -265,3 +265,31 @@ def test_colsharded_online_growth(mesh2x2):
     np.testing.assert_array_equal(kh[:, 0], kh[:, 1])  # columns lockstep
     live = int(np.asarray(jax.device_get(tr.stacked.cnt)).sum()) // 2
     assert live == len(seen)
+
+
+def test_colsharded_remove_keys(mesh2x2):
+    """remove() on the 2-D layout: keys erase on their owner row shard in
+    column lockstep; freed slots re-insert cleanly on the next touch."""
+    run, table, model, data = _cfgs(dim=64)
+    tr = ColShardedTrainer(run, table, model, mesh2x2)
+    stream = SyntheticStream(data)
+    batches = list(stream.batches(3))
+    for b in batches[:2]:
+        tr.train_step(b)
+    tr.flush()
+    ids = np.unique(np.asarray(batches[0]["ids"]).reshape(-1))[:40]
+    removed = tr.remove(ids)
+    assert removed == len(ids)
+    assert tr.remove(np.array([10**15], np.int64)) == 0
+    # column planes remain in lockstep after the erase (key planes identical)
+    from meepoembedding_tpu.parallel.colsharded import addressable_shard_trees2
+
+    by_sc = addressable_shard_trees2(tr.stacked)
+    for s in range(2):
+        k0 = np.asarray(by_sc[(s, 0)].key_hi)
+        k1 = np.asarray(by_sc[(s, 1)].key_hi)
+        np.testing.assert_array_equal(k0, k1)
+    # removed ids re-insert on next touch without drops
+    out = tr.train_step(batches[0])
+    tr.flush()
+    assert tr._last["route_drops"] == 0
