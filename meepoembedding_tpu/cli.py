@@ -355,15 +355,12 @@ def cmd_train(args) -> int:
                     ColShardedTrainer, make_mesh2d,
                 )
 
-                if spill is not None:
-                    raise SystemExit(
-                        "--col-shards training does not support --spill yet"
-                    )
                 assert jax.device_count() % col == 0, (
                     f"--col-shards {col} must divide {jax.device_count()} devices"
                 )
                 mesh = make_mesh2d(jax.device_count() // col, col)
-                tr = ColShardedTrainer(run_cfg, table_cfg, model_cfg, mesh)
+                tr = ColShardedTrainer(run_cfg, table_cfg, model_cfg, mesh,
+                                       spill=spill)
             else:
                 # run.mesh_shape=(N,) restricts the 1-D shard mesh to the
                 # first N local devices (default: all of them)

@@ -183,6 +183,11 @@ def make_col_step(spec: TableSpec, model, mesh: Mesh, dense_lr: float,
         drops = lax.psum(
             shard.counters[st.ROUTE_DROPS] - drops0, (SHARD_AXIS, COL_AXIS)
         ) // C
+        # owner-side miss info (async cold-tier promotion feed): identical
+        # across the column axis by lockstep; the host feeds column 0 only
+        miss_out = tuple(
+            a[None, None] for a in (ctx.miss_hi, ctx.miss_lo, ctx.miss)
+        )
         # feature-axis all_gather OUTSIDE the autodiff boundary: tower grads
         # w.r.t. the gathered [U, dim] rows are computed replicated per
         # column slice; each chip then slices its own dim/C block — exact,
@@ -216,7 +221,8 @@ def make_col_step(spec: TableSpec, model, mesh: Mesh, dense_lr: float,
             params, g_dense, opt_state, dense_lr
         )
         loss = lax.psum(loss, SHARD_AXIS)
-        return _unsqueeze2(shard), params, opt_state, loss, logits, drops
+        return (_unsqueeze2(shard), params, opt_state, loss, logits, drops,
+                miss_out)
 
     sp2 = P(SHARD_AXIS, COL_AXIS)
     fn = jax.shard_map(
@@ -224,7 +230,7 @@ def make_col_step(spec: TableSpec, model, mesh: Mesh, dense_lr: float,
         mesh=mesh,
         in_specs=(sp2, P(), P(), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
                   P(SHARD_AXIS), P()),
-        out_specs=(sp2, P(), P(), P(), P(SHARD_AXIS), P()),
+        out_specs=(sp2, P(), P(), P(), P(SHARD_AXIS), P(), sp2),
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(0,))
@@ -266,13 +272,57 @@ def make_col_eval(spec: TableSpec, model, mesh: Mesh, unique_cap: int,
     return jax.jit(fn)
 
 
+def make_promote_insert2(spec_l: TableSpec, mesh: Mesh, chunk: int):
+    """Jitted 2-D bulk insert of promoted rows: each ROW shard receives its
+    own owner-correct [chunk]-padded batch (replicated over the column
+    axis), and each column chip writes only its dim/C lane block of the
+    full-dim promoted rows — key planes stay in lockstep because every
+    column runs the identical insert plan."""
+    from meepoembedding_tpu.table import xla_ops
+    from meepoembedding_tpu.table.layout import PROMOTES
+
+    dl = spec_l.dim
+    n_row = spec_l.optimizer.num_rowwise_slots()
+
+    def impl(stacked, hi, lo, rows, valid, freq, accum, fulldim, step):
+        shard = _squeeze2(stacked)
+        cidx = lax.axis_index(COL_AXIS)
+        rows_c = lax.dynamic_slice_in_dim(rows[0], cidx * dl, dl, axis=1)
+        full_c = tuple(
+            lax.dynamic_slice_in_dim(f[0], cidx * dl, dl, axis=1)
+            for f in fulldim
+        )
+        shard, ok = xla_ops.insert_rows(
+            spec_l, shard, hi[0], lo[0], rows_c, valid[0], step,
+            freq=freq[0],
+            accum=accum[0] if n_row else None,
+            fulldim=full_c if full_c else None,
+        )
+        shard = shard._replace(
+            counters=shard.counters.at[PROMOTES].add(
+                jnp.sum(ok).astype(jnp.int32)
+            )
+        )
+        return _unsqueeze2(shard)
+
+    sp, sp2 = P(SHARD_AXIS), P(SHARD_AXIS, COL_AXIS)
+    fn = jax.shard_map(
+        impl,
+        mesh=mesh,
+        in_specs=(sp2, sp, sp, sp, sp, sp, sp, sp, P()),
+        out_specs=sp2,
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
 class ColShardedTrainer:
     """2-D (row x dim) sharded trainer for very wide embedding tables.
     Mirrors `parallel.trainer.ShardedTrainer`'s step API; table state is
     [S, C, ...] with column-local value planes."""
 
     def __init__(self, run_cfg: RunConfig, table_cfg: TableConfig,
-                 model_cfg: ModelConfig, mesh: Mesh):
+                 model_cfg: ModelConfig, mesh: Mesh, spill=None):
         assert model_cfg.embedding_dim == table_cfg.dim
         self.mesh = mesh
         self.S = mesh.shape[SHARD_AXIS]
@@ -303,6 +353,28 @@ class ColShardedTrainer:
         self._bag_len = 1
         self._model_cfg = model_cfg
         self._erase_fns = {}
+        self.spill = spill
+        self.spilled_rows = 0
+        self._codec = None
+        self._promoter = None
+        self._promote_fn = None
+        self._promote_chunk = 1024
+        if spill is not None:
+            # Cold-tier payloads are CANONICAL full-dim rows (the merged
+            # column blocks), so the same backend serves any layout. Each
+            # process must therefore hold every column of its row shards.
+            assert jax.process_count() == 1, (
+                "col-sharded spill/promotion is single-process: spilling "
+                "merges all C column blocks of a row on one host"
+            )
+            from meepoembedding_tpu.tiering import PromotionEngine, SpillCodec
+
+            self._codec = SpillCodec(self.spec)
+            assert spill.width == self._codec.width, (
+                f"spill backend width {spill.width} != full-dim codec "
+                f"{self._codec.width}"
+            )
+            self._promoter = PromotionEngine(self._codec, spill)
         self._build_step_fns()
 
     def _device_batch(self, batch):
@@ -379,6 +451,7 @@ class ColShardedTrainer:
             new_by_sc, self.mesh, alloc_col_stacked(self.spec_local, self.mesh)
         )
         self._erase_fns = {}  # jits bind the old capacity
+        self._promote_fn = None
         self._build_step_fns()
 
     def remove(self, ids64: np.ndarray) -> int:
@@ -424,8 +497,8 @@ class ColShardedTrainer:
             np.asarray(batch["ids"]).size * max(1, jax.process_count())
         )
         dense, hi, lo, label = self._device_batch(batch)
-        (self.stacked, self.params, self.opt_state, loss, logits, drops
-         ) = self._step_fn(
+        (self.stacked, self.params, self.opt_state, loss, logits, drops,
+         miss) = self._step_fn(
             self.stacked, self.params, self.opt_state, dense, hi, lo, label,
             jnp.int32(self.step),
         )
@@ -433,6 +506,7 @@ class ColShardedTrainer:
         self._pending.append({
             "step": self.step - 1, "loss": loss, "drops": drops,
             "logits": logits, "labels": np.asarray(batch["label"]),
+            "miss": miss,
         })
         while len(self._pending) > self.pipeline_depth:
             self._retire(self._pending.popleft())
@@ -441,6 +515,18 @@ class ColShardedTrainer:
     def _retire(self, ent: dict) -> None:
         """Host-side consumption of a completed step (lagged; never stalls
         the device pipeline — see ShardedTrainer._retire)."""
+        if self._promoter is not None:
+            # feed each row shard's owner-side misses once (column 0 only —
+            # the miss planes are identical across the column axis)
+            mh, ml, mm = ent["miss"]
+            for shh, shl, shm in zip(
+                mh.addressable_shards, ml.addressable_shards,
+                mm.addressable_shards,
+            ):
+                if int(shh.index[1].start or 0) == 0:
+                    self._promoter.feed(
+                        shh.data[0, 0], shl.data[0, 0], shm.data[0, 0]
+                    )
         logits = ent["logits"]
         # AUC over THIS process's slice: logits are replicated across the
         # column axis, so dedup addressable shards by batch-row start
@@ -472,18 +558,84 @@ class ColShardedTrainer:
         )
         return {"loss": float(loss), "logits": logits}
 
+    def _apply_promotions(self) -> int:
+        """Drain staged cold->hot promotions back into the 2-D table
+        (SURVEY.md §3.4 reverse path): bucket full-dim payload rows by owner
+        ROW shard, pad [chunk] rounds, run the 2-D insert — each column chip
+        writes its own lane block of every promoted row."""
+        if self._promoter is None:
+            return 0
+        out = self._promoter.drain()
+        if out is None:
+            return 0
+        keys, state = out
+        if not len(keys):
+            return 0
+        S, chunk, dim = self.S, self._promote_chunk, self.spec.dim
+        hi_np, lo_np = hashing.split_ids(keys)
+        owner = np.asarray(
+            hashing.owner_of(jnp.asarray(hi_np), jnp.asarray(lo_np), S)
+        )
+        per = {s: np.nonzero(owner == s)[0] for s in range(S)}
+        rounds = -(-max(len(v) for v in per.values()) // chunk)
+        if self._promote_fn is None:
+            self._promote_fn = make_promote_insert2(
+                self.spec_local, self.mesh, chunk
+            )
+        n_full = self.spec.optimizer.num_fulldim_slots()
+        n_row = self.spec.optimizer.num_rowwise_slots()
+        sd = NamedSharding(self.mesh, P(SHARD_AXIS))
+        promoted = 0
+        for r in range(rounds):
+            hi_b = np.full((S, chunk), hashing.EMPTY_HI, np.int32)
+            lo_b = np.full((S, chunk), hashing.EMPTY_LO, np.int32)
+            rows_b = np.zeros((S, chunk, dim), np.float32)
+            valid_b = np.zeros((S, chunk), bool)
+            freq_b = np.zeros((S, chunk), np.int32)
+            accum_b = np.zeros((S, chunk), np.float32)
+            full_b = [np.zeros((S, chunk, dim), np.float32)
+                      for _ in range(n_full)]
+            for s in range(S):
+                idx = per[s][r * chunk : (r + 1) * chunk]
+                k = len(idx)
+                if not k:
+                    continue
+                hi_b[s, :k] = hi_np[idx]
+                lo_b[s, :k] = lo_np[idx]
+                rows_b[s, :k] = state["values"][idx]
+                valid_b[s, :k] = True
+                freq_b[s, :k] = state["freq"][idx]
+                if n_row:
+                    accum_b[s, :k] = state["accum"][idx]
+                for j in range(n_full):
+                    full_b[j][s, :k] = state["fulldim"][j][idx]
+                promoted += k
+            self.stacked = self._promote_fn(
+                self.stacked,
+                jax.device_put(hi_b, sd), jax.device_put(lo_b, sd),
+                jax.device_put(rows_b, sd), jax.device_put(valid_b, sd),
+                jax.device_put(freq_b, sd), jax.device_put(accum_b, sd),
+                tuple(jax.device_put(f, sd) for f in full_b),
+                jnp.int32(self.step),
+            )
+        # promoted rows are live rows the growth gate never counted
+        self._live_upper += promoted
+        return promoted
+
     def maintenance(self) -> dict:
-        """Eviction tick for the 2-D layout (capacity control; SURVEY.md
+        """Eviction/spill/promotion tick for the 2-D layout (SURVEY.md
         §3.4). evict_pass is a pure function of the key/score planes, which
-        are identical across columns, so column shards evict the SAME rows in
-        lockstep — each freeing its own lane block. Spill of the export is
-        not wired (the CLI forbids --spill with --col-shards): evicted rows
-        are dropped, like the single-device no-spill configuration."""
+        are identical across columns, so column shards evict the SAME rows
+        in lockstep — each freeing its own lane block. With a spill backend
+        the host merges the C lane blocks of every evicted row into one
+        CANONICAL full-dim cold-tier payload (so any layout can restore
+        it), and drains staged promotions back in."""
         self.flush()
         from meepoembedding_tpu.table import xla_ops
 
+        promoted = self._apply_promotions()
         if self.spec.policy.evict_policy == "none":
-            return {"evicted": 0, "promoted": 0}
+            return {"evicted": 0, "promoted": promoted, "spilled": 0}
         spec_l = self.spec_local
         sp2 = P(SHARD_AXIS, COL_AXIS)
         evict = jax.shard_map(
@@ -506,7 +658,41 @@ class ColShardedTrainer:
                 lambda c: jnp.sum(c[:, 0]), export.count
             )
         )
-        return {"evicted": evicted, "promoted": 0}
+        spilled = 0
+        if self.spill is not None and evicted:
+            from meepoembedding_tpu.table.xla_ops import EvictExport
+            from meepoembedding_tpu.tiering import spill_export
+
+            by_s: dict = {}
+            for (s, c), e in addressable_shard_trees2(export).items():
+                by_s.setdefault(s, {})[c] = e
+            for s, cols in sorted(by_s.items()):
+                assert len(cols) == self.C, (
+                    f"row shard {s}: only columns {sorted(cols)} addressable"
+                )
+                e0 = cols[0]
+                n = int(e0.count)
+                if not n:
+                    continue
+                rows = np.concatenate(
+                    [np.asarray(cols[c].rows[:n], np.float32)
+                     for c in range(self.C)], axis=1,
+                )
+                fulldim = tuple(
+                    np.concatenate(
+                        [np.asarray(cols[c].fulldim[j][:n], np.float32)
+                         for c in range(self.C)], axis=1,
+                    )
+                    for j in range(len(e0.fulldim))
+                )
+                spilled += spill_export(self._codec, self.spill, EvictExport(
+                    hi=np.asarray(e0.hi[:n]), lo=np.asarray(e0.lo[:n]),
+                    rows=rows, freq=np.asarray(e0.freq[:n]),
+                    accum=np.asarray(e0.accum[:n]), fulldim=fulldim,
+                    count=np.int32(n),
+                ))
+            self.spilled_rows += spilled
+        return {"evicted": evicted, "promoted": promoted, "spilled": spilled}
 
     # --- elastic checkpoint/restore (canonical full-dim format) -------------
     def save_checkpoint(self, path: str, extras: Optional[dict] = None) -> dict:
@@ -549,6 +735,7 @@ class ColShardedTrainer:
         if grew:
             self.stacked = alloc_col_stacked(self.spec_local, self.mesh)
             self._erase_fns = {}  # jits bind the pre-restore capacity
+            self._promote_fn = None
             self._build_step_fns()
 
         sharding = NamedSharding(self.mesh, P(SHARD_AXIS, COL_AXIS))

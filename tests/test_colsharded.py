@@ -293,3 +293,84 @@ def test_colsharded_remove_keys(mesh2x2):
     out = tr.train_step(batches[0])
     tr.flush()
     assert tr._last["route_drops"] == 0
+
+
+def test_colsharded_evict_spill_promote_roundtrip(mesh2x2, rng):
+    """2-D cold tier is bidirectional and CANONICAL: evicted rows spill as
+    merged full-dim payloads; a re-touch promotes them back with every
+    column chip restoring its own lane block — value + freq + accumulator
+    bit-equal to the pre-eviction state."""
+    from meepoembedding_tpu import checkpoint
+    from meepoembedding_tpu.backends import make_backend
+    from meepoembedding_tpu.config import PolicyConfig
+    from meepoembedding_tpu.parallel.colsharded import addressable_shard_trees2
+    from meepoembedding_tpu.table.layout import TableSpec
+    from meepoembedding_tpu.tiering import SpillCodec
+
+    run, table, model, data = _cfgs(dim=64)
+    table = dataclasses.replace(
+        table,
+        policy=PolicyConfig(evict_policy="ttl", ttl_steps=3,
+                            max_evict_per_pass=1 << 10),
+    )
+    spill = make_backend(
+        "python", width=SpillCodec(TableSpec.from_config(table)).width
+    )
+    tr = ColShardedTrainer(run, table, model, mesh2x2, spill=spill)
+
+    def batch(ids_pool):
+        return {
+            "ids": rng.choice(ids_pool, size=(128, 4)).astype(np.int64),
+            "dense": rng.normal(size=(128, 4)).astype(np.float32),
+            "label": rng.integers(0, 2, size=128).astype(np.float32),
+        }
+
+    def state():
+        """id -> (full-dim value row, freq, accum) merged across columns."""
+        by_sc = addressable_shard_trees2(tr.stacked)
+        cols = {}
+        for (s, c), sh in sorted(by_sc.items()):
+            arrs = checkpoint.export_shard_arrays(tr.spec_local, sh)
+            for j, k in enumerate(arrs["ids"]):
+                ent = cols.setdefault(int(k), {})
+                ent[c] = (arrs["values"][j], int(arrs["freq"][j]),
+                          float(arrs["accum"][j]))
+        out = {}
+        for k, by_c in cols.items():
+            assert len(by_c) == 2 and by_c[0][1:] == by_c[1][1:]
+            out[k] = (np.concatenate([by_c[0][0], by_c[1][0]]),) + by_c[0][1:]
+        return out
+
+    cold = np.arange(1, 97, dtype=np.int64) * 7919
+    for _ in range(2):
+        tr.train_step(batch(cold))
+    tr.flush()
+    before = state()
+    assert set(before) == set(map(int, cold))
+
+    hot = np.arange(1, 97, dtype=np.int64) * 104729 + 10**12
+    for _ in range(5):
+        tr.train_step(batch(hot))
+    out = tr.maintenance()
+    assert out["evicted"] >= len(cold)
+    assert out["spilled"] == out["evicted"] and len(spill) == out["spilled"]
+    keys, payload = next(iter(spill.export()))
+    assert payload.shape[1] == SpillCodec(TableSpec.from_config(table)).width
+    _, found = spill.lookup_batch(cold)
+    assert found.all()
+
+    tr.train_step(batch(cold))  # misses feed the promoter (column 0)
+    tr.flush()
+    tr._promoter.flush()
+    gate_before = tr._live_upper
+    out = tr.maintenance()
+    assert out["promoted"] >= len(cold)
+    assert tr._live_upper >= gate_before + out["promoted"]
+    after = state()
+    for k in map(int, cold):
+        np.testing.assert_array_equal(after[k][0], before[k][0])
+        assert after[k][1] == before[k][1]
+        assert after[k][2] == before[k][2]
+    assert tr.counters()["promotes"] >= len(cold)
+    _, found = spill.lookup_batch(cold)
+    assert not found.any()  # promoted rows were erased from the cold tier
