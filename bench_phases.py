@@ -38,11 +38,14 @@ def main():
     # more, shorter windows survive tunnel stalls: min-of-W only needs ONE
     # clean window, and multi-100ms host stalls hit ~1 window/second
     nwin = int(os.environ.get("MEEPO_BENCH_WINDOWS", 3))
-    fill = 0.8
+    dtype = os.environ.get("MEEPO_BENCH_DTYPE", "float32")
+    # f32 at 2^27 cannot fit HBM; match bench.py's config-2 fill
+    fill = float(os.environ.get("MEEPO_BENCH_FILL",
+                                0.75 if cap >= (1 << 27) else 0.8))
     d = int(os.environ.get("MEEPO_BENCH_DEPTH", 2))
 
     cfg = TableConfig(
-        dim=dim, capacity=cap,
+        dim=dim, capacity=cap, value_dtype=dtype,
         optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.05),
         initializer_scale=0.01,
         max_probe_rounds=2,
@@ -90,7 +93,7 @@ def main():
         k = np.minimum(k.astype(np.int64), n_live) - 1
         return k * key_mult
 
-    ucap = max(1024, batch // 2)
+    ucap = int(os.environ.get("MEEPO_BENCH_UCAP", max(1024, batch // 2)))
     gseed = jnp.float32(1e-4)
 
     batches = [hashing.split_ids(stream_batch()) for _ in range(steps)]
