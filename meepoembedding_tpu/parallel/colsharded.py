@@ -784,7 +784,10 @@ class ColShardedTrainer:
             "hits", "misses", "inserts", "drops", "evictions", "spills",
             "promotes", "denied", "route_drops",
         ]
-        return {n: int(c[i]) for i, n in enumerate(names)}
+        out = {n: int(c[i]) for i, n in enumerate(names)}
+        # spill runs host-side; surface this process's merged-row count
+        out["spills"] = max(out["spills"], self.spilled_rows)
+        return out
 
     def __len__(self) -> int:
         return int(self._replicated(lambda a: jnp.sum(a[:, 0]), self.stacked.cnt))

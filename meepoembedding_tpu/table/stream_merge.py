@@ -1,12 +1,13 @@
-"""Pallas stream-merge scatter-add (SURVEY.md C4, L0): the values-plane
-update kernel for big tables.
+"""Pallas stream-merge scatter-add (SURVEY.md C4, L0): the guaranteed
+in-place values-plane update kernel for tables too big to double-buffer.
 
-XLA:TPU scatter is never in-place — it materializes the FULL output plane
-every step (~52 ms at a 4.3 GB table: copy + multi-pass scatter), so update
-cost scales with TABLE size, not batch size. This kernel instead streams only
-the TOUCHED 512-row blocks of the plane through VMEM with double-buffered
-sequential DMAs and merges the (vrow-sorted) updates into each block as ONE
-one-hot matmul on the MXU:
+XLA:TPU scatter aliases a DONATED plane in-place (re-verified r4 at 8.6 GB
+— see the threshold note at the bottom), so it is the default update path;
+this kernel is the fallback for planes where a transient copy would OOM
+(and insurance against donation-aliasing regressions). It streams only the
+TOUCHED blocks of the plane through VMEM with double-buffered sequential
+DMAs and merges the (vrow-sorted) updates into each block as ONE one-hot
+matmul on the MXU:
 
     slab[q] += onehot(uvrow_window - block_base - 128q)^T @ upd_window
 
@@ -534,20 +535,27 @@ def stream_merge_add(plane, vrow, upd, interpret: bool = None) -> jax.Array:
     return _stream_merge_add(plane, vrow.astype(jnp.int32), upd, interpret)
 
 
-# XLA's scatter materializes the plane into a second buffer, so beyond this
-# size the stream-merge kernel is the only truly in-place update path,
-# enabling values planes LARGER than half of HBM (the 100M-row dim-32 config
-# needs 12.8 GB of a 16 GB chip). Measured standalone on v5e: correct
-# (4.8e-7 max err); 47 ms vs XLA's 41 ms at 4.3 GB / 512K rows; runs at
-# 8.6 GB (161 ms / 1M updates) where XLA's double-buffering OOMs; composes
-# fine inside jits with gathers before/after at those shapes, and powers
-# prefill/insert of a 67M-row table. The threshold keeps XLA below
-# (slightly faster there) and the kernel above (where XLA cannot run).
-# OPEN ISSUE: the FULL 67M-row train_cycle still dies with a TPU
-# InvalidArgument even though every isolated piece passes — suspect
-# transient-memory interplay; tracked for the next round.
+# The kernel exists for planes XLA cannot update without a second buffer.
+# Where that line sits moved between rounds, so it was RE-MEASURED (r4,
+# v5e, bench_phases at the 2^27-slot bf16 config — 8.6 GB values plane,
+# 11.3 GB total live, 219K updates/step):
+#   XLA scatter-add, donated plane:  15.9 ms/step, NO OOM (in-place)
+#   stream-merge kernel:             49.6 ms/step
+# The kernel's cost is GRID-STEP-LATENCY-bound, not bandwidth-bound: with
+# 219K random updates over plane_rows/BLOCKR blocks essentially every
+# block is touched, and ~(blocks + windows) grid steps at ~3 us/step gave
+# 22.3 ms at 4096 blocks (4.3 GB f32) and ~50 ms at 16384 blocks (8.6 GB
+# bf16) — linear in block count, exactly as a per-step fixed cost
+# predicts. XLA's scatter meanwhile proved in-place on donated planes at
+# 8.6 GB (16 GB chip: a copy could not have fit alongside the 2.7 GB of
+# key/score planes). The default threshold therefore sits at 12 GiB:
+# every configuration that physically fits a 16 GB chip WITH its metadata
+# planes uses the XLA scatter (33.5 ms/step faster at config 2); the
+# kernel remains for the (12, ~13.5] GiB corner where a transient copy
+# would OOM, and as the guaranteed-in-place fallback if a future XLA
+# regresses donation aliasing (MEEPO_STREAM_THRESHOLD overrides).
 STREAM_THRESHOLD_BYTES = int(
-    __import__("os").environ.get("MEEPO_STREAM_THRESHOLD", 6 << 30)
+    __import__("os").environ.get("MEEPO_STREAM_THRESHOLD", 12 << 30)
 )
 
 

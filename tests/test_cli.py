@@ -199,14 +199,20 @@ def test_colsharded_train_cli():
     final = json.loads(out.stdout.strip().splitlines()[-1])
     assert final["steps"] == 4
 
-    # guard: unsupported combos fail fast, not deep in the run
+    # --spill composes with --col-shards (r4): evicted rows spill as merged
+    # full-dim payloads; the run must complete with maintenance ticking
     out = subprocess.run(
         [sys.executable, "-m", "meepoembedding_tpu", "train", "--distributed",
          "--col-shards", "2", "--spill", "host", "--data", "synthetic",
-         "--set", "run.steps=1", "table.dim=32"],
+         "--maintenance-every", "2",
+         "--set", "run.steps=4", "run.batch_size=128", "table.capacity=8192",
+         "table.dim=32", "model.kind=ctr_mlp", "model.num_sparse_features=3",
+         "model.top_mlp=16,1", "table.policy.evict_policy=lfu_ttl",
+         "table.policy.ttl_steps=2"],
         capture_output=True, text=True, timeout=600, env=env,
     )
-    assert out.returncode != 0
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert json.loads(out.stdout.strip().splitlines()[-1])["steps"] == 4
 
 
 def test_eval_cli(tmp_path):
