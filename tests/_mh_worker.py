@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--erase", type=int, default=0,
                     help="after training, remove ids [0, N) via the "
                          "distributed exchange_erase (1-D trainer only)")
+    ap.add_argument("--group", action="store_true",
+                    help="heterogeneous 2-table ShardedGroupTrainer instead "
+                         "of the single-table trainer")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={args.devs}"
@@ -61,7 +64,19 @@ def main():
         kind="ctr_mlp", num_dense_features=4, num_sparse_features=3,
         embedding_dim=8, top_mlp=(16, 1),
     )
-    if args.col > 1:
+    if args.group:
+        from meepoembedding_tpu.group_train import ShardedGroupTrainer
+
+        tables = {
+            "user": TableConfig(dim=8, capacity=args.capacity,
+                                grow_at_load=args.grow_at or None),
+            "item": TableConfig(dim=16, capacity=args.capacity),
+        }
+        model = ModelConfig(kind="ctr_mlp", num_dense_features=4,
+                            num_sparse_features=3, top_mlp=(16, 1))
+        tr = ShardedGroupTrainer(run, tables, ["user", "item", "item"],
+                                 model, mesh=make_mesh(S))
+    elif args.col > 1:
         from meepoembedding_tpu.parallel.colsharded import (
             ColShardedTrainer, make_mesh2d,
         )
@@ -83,13 +98,19 @@ def main():
             "label": (r.random(local_b) < 0.3).astype(np.float32),
         }
 
+    def save():
+        if args.group:
+            tr.save_checkpoint(args.ckpt_dir)
+        else:
+            tr.save_checkpoint(args.ckpt_dir, extras={"saved_at": tr.step})
+
     start = tr.step
     losses = []
     for i in range(args.steps):
         out = tr.train_step(local_batch(start + i))
         losses.append(out["loss"])
         if args.save_every and (i + 1) % args.save_every == 0:
-            tr.save_checkpoint(args.ckpt_dir, extras={"saved_at": tr.step})
+            save()
         if args.die_after and (i + 1) >= args.die_after:
             print(json.dumps({"died": True, "step": tr.step}), flush=True)
             os._exit(42)  # simulated hard worker failure (SURVEY.md §5)
@@ -97,17 +118,25 @@ def main():
     if args.erase:
         # every process passes the SAME id list; owner-side dedup collapses
         # the copies and each key dies on exactly one shard
-        removed = tr.remove(np.arange(args.erase, dtype=np.int64))
-    tr.save_checkpoint(args.ckpt_dir, extras={"saved_at": tr.step})
-    print(json.dumps({
-        "pid": args.pid,
-        "rows": len(tr),
-        "step": tr.step,
-        "loss": losses[-1],
-        "removed": removed,
-        "capacity": tr.spec.capacity,
-        "counters": tr.counters(),
-    }), flush=True)
+        ids = np.arange(args.erase, dtype=np.int64)
+        removed = tr.remove("user", ids) if args.group else tr.remove(ids)
+    save()
+    if args.group:
+        c = tr.counters()
+        out = {
+            "pid": args.pid, "step": tr.step, "loss": losses[-1],
+            "removed": removed,
+            "rows": {n: c[n]["rows"] for n in sorted(c)},
+            "capacity": {n: tr.specs[n].capacity * tr.S for n in sorted(c)},
+            "counters": c,
+        }
+    else:
+        out = {
+            "pid": args.pid, "rows": len(tr), "step": tr.step,
+            "loss": losses[-1], "removed": removed,
+            "capacity": tr.spec.capacity, "counters": tr.counters(),
+        }
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

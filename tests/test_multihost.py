@@ -198,3 +198,41 @@ def test_two_process_distributed_growth(tmp_path):
     with open(os.path.join(ckpt, "manifest.json")) as f:
         m = json.load(f)
     assert sum(m["counts"]) == r0["rows"]
+
+
+@pytest.mark.slow
+def test_two_process_group_training_and_checkpoint(tmp_path):
+    """2 processes x 2 devices, heterogeneous 2-table ShardedGroupTrainer:
+    per-table a2a across the process boundary, both processes agree on
+    global per-table state, group checkpoint commits once and restores
+    onto a single-device GroupTrainer with identical rows."""
+    ckpt = str(tmp_path / "gck")
+    outs = _run_job(2, 2, ckpt, ["--steps", "3", "--group"])
+    results = []
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed:\n{err[-3000:]}"
+        results.append(json.loads(out.strip().splitlines()[-1]))
+    a, b = results
+    assert a["rows"] == b["rows"] and a["step"] == b["step"] == 3
+    assert abs(a["loss"] - b["loss"]) < 1e-6
+    for n in ("user", "item"):
+        assert a["counters"][n]["inserts"] == b["counters"][n]["inserts"]
+        assert a["rows"][n] > 0
+    assert os.path.exists(os.path.join(ckpt, "group.json"))
+
+    # the committed group checkpoint restores on one device with same rows
+    from meepoembedding_tpu.config import ModelConfig, RunConfig, TableConfig
+    from meepoembedding_tpu.group_train import GroupTrainer
+
+    tables = {
+        "user": TableConfig(dim=8, capacity=1 << 12),
+        "item": TableConfig(dim=16, capacity=1 << 12),
+    }
+    model = ModelConfig(kind="ctr_mlp", num_dense_features=4,
+                        num_sparse_features=3, top_mlp=(16, 1))
+    tr = GroupTrainer(RunConfig(batch_size=64, steps=1), tables,
+                      ["user", "item", "item"], model)
+    tr.load_checkpoint(ckpt)
+    c = tr.counters()
+    for n in ("user", "item"):
+        assert c[n]["rows"] == a["rows"][n]
