@@ -184,3 +184,30 @@ def test_large_random(rng):
     vrow = rng.integers(0, R, size=m).astype(np.int32)
     upd = rng.normal(size=(m, 128)).astype(np.float32)
     _check(R, vrow, upd, rng)
+
+
+def test_values_scatter_add_dispatch_equivalence(rng, monkeypatch):
+    """values_scatter_add must produce the same result on both sides of
+    STREAM_THRESHOLD_BYTES (r4 moved the default 6 -> 12 GiB after the XLA
+    scatter proved in-place on donated big planes; the kernel remains the
+    too-big-to-double-buffer fallback and must stay interchangeable)."""
+    from meepoembedding_tpu.table import stream_merge
+
+    R = 8 * BLOCKR
+    plane = rng.normal(size=(R, 128)).astype(np.float32)
+    vrow = rng.integers(-2, R + 2, size=300).astype(np.int32)
+    upd = rng.normal(size=(300, 128)).astype(np.float32)
+
+    monkeypatch.setattr(stream_merge, "STREAM_THRESHOLD_BYTES", 1 << 60)
+    xla_out = stream_merge.values_scatter_add(
+        jnp.asarray(plane), jnp.asarray(vrow), jnp.asarray(upd)
+    )
+    monkeypatch.setattr(stream_merge, "STREAM_THRESHOLD_BYTES", 0)
+    # interpret-mode kernel off-TPU: call the kernel entry directly
+    kern_out = stream_merge_add(
+        jnp.asarray(plane), jnp.asarray(vrow), jnp.asarray(upd),
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(xla_out), np.asarray(kern_out), rtol=1e-5, atol=1e-5
+    )
