@@ -328,3 +328,90 @@ def test_sharded_group_remove_member_keys(mesh):
     tr.train_step(_cold_batch(rng, ids))
     tr.flush()
     assert tr.counters()["item"]["rows"] == rows0
+
+
+@pytest.mark.parametrize("sharded", [False, True])
+def test_group_lifecycle_fuzz(sharded, mesh):
+    """Randomized interleaving of train / maintenance (evict+spill+promote) /
+    remove / growth / save+restore on a heterogeneous group: catches
+    cross-feature interactions (remove -> reinsert, evict -> promote ->
+    grow, restore -> continue) that the per-feature tests cannot. Structural
+    invariants checked after every op; restore must preserve per-table rows
+    and scores bit-stably."""
+    import tempfile
+
+    rng = np.random.default_rng(31337)
+    tables = {
+        "user": TableConfig(
+            dim=16, capacity=1 << 9, grow_at_load=0.7, initializer_scale=0.02,
+            optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.05),
+        ),
+        "item": TableConfig(
+            dim=8, capacity=1 << 10, initializer_scale=0.02,
+            policy=PolicyConfig(evict_policy="lfu_ttl", ttl_steps=4,
+                                max_evict_per_pass=1 << 9),
+        ),
+    }
+    spill = _spill_for(tables, ["item"])
+    run = RunConfig(batch_size=64, steps=40, dense_learning_rate=3e-3,
+                    pipeline_depth=2 if sharded else 0)
+
+    def build():
+        if sharded:
+            return ShardedGroupTrainer(run, dict(tables), FEATURE_MAP, MODEL,
+                                       mesh=mesh, spill=dict(spill))
+        return GroupTrainer(run, dict(tables), FEATURE_MAP, MODEL,
+                            spill=dict(spill))
+
+    tr = build()
+    n_ops = 24 if sharded else 48
+
+    def batch():
+        return {
+            "ids": np.stack([
+                rng.integers(0, 3000, size=64),           # growable member
+                rng.integers(0, 600, size=64),
+                rng.integers(0, 600, size=64),
+            ], axis=1).astype(np.int64),
+            "dense": rng.normal(size=(64, 4)).astype(np.float32),
+            "label": rng.integers(0, 2, size=64).astype(np.float32),
+        }
+
+    def check():
+        c = tr.counters()
+        for n in ("user", "item"):
+            assert 0 <= c[n]["rows"] <= c[n]["capacity"], c
+            assert c[n]["inserts"] >= c[n]["rows"] - c[n]["promotes"], c
+        return c
+
+    with tempfile.TemporaryDirectory() as d:
+        for i in range(n_ops):
+            op = rng.choice(["train", "train", "train", "maint", "remove",
+                             "ckpt"])
+            if op == "train":
+                tr.train_step(batch())
+            elif op == "maint":
+                out = tr.maintenance()
+                assert set(out) == {"user", "item"}
+            elif op == "remove":
+                ids = rng.integers(0, 600, size=16).astype(np.int64)
+                before = check()["item"]["rows"]
+                removed = tr.remove("item", np.unique(ids))
+                assert check()["item"]["rows"] == before - removed
+            else:
+                if hasattr(tr, "flush"):
+                    tr.flush()
+                tr.save_checkpoint(d)
+                rows_before = {n: c["rows"] for n, c in tr.counters().items()}
+                tr = build()
+                tr.load_checkpoint(d)
+                rows_after = {n: c["rows"] for n, c in tr.counters().items()}
+                assert rows_after == rows_before
+            check()
+        # the table still trains after the whole gauntlet
+        out = tr.train_step(batch())
+        if hasattr(tr, "flush"):
+            tr.flush()
+            assert np.isfinite(tr._last_loss)
+        else:
+            assert np.isfinite(out["loss"])
