@@ -174,8 +174,84 @@ def main():
         gc.collect()
         return min(windows), windows, drops
 
+    def run_group(sharded: bool):
+        """Heterogeneous 4-table group over the SAME id volume (feats
+        columns round-robin onto 4 tables of cap/4): single-device
+        GroupTrainer vs ShardedGroupTrainer at S — the distribution tax of
+        the per-table a2a path (VERDICT r2 #4 flagship)."""
+        from meepoembedding_tpu.group_train import GroupTrainer, ShardedGroupTrainer
+
+        names = [f"t{i}" for i in range(4)]
+        tables = {
+            n: TableConfig(
+                dim=dim, capacity=cap // 4, max_probe_rounds=2,
+                insert_cap=1 << 13,
+                optimizer=OptimizerConfig(kind="rowwise_adagrad",
+                                          learning_rate=0.05),
+            )
+            for n in names
+        }
+        fmap = [names[i % 4] for i in range(feats)]
+        gmodel = ModelConfig(
+            kind="ctr_mlp", num_dense_features=13,
+            num_sparse_features=feats, top_mlp=(64, 1),
+        )
+        if sharded:
+            from meepoembedding_tpu.parallel.mesh import make_mesh
+
+            tr = ShardedGroupTrainer(run, tables, fmap, gmodel,
+                                     mesh=make_mesh(S))
+        else:
+            tr = GroupTrainer(run, tables, fmap, gmodel)
+        t0 = time.perf_counter()
+        for b in pre_batches:
+            tr.train_step(b)
+        if sharded:
+            tr.flush()
+        log(f"group{'-sharded' if sharded else ''} prefill in "
+            f"{time.perf_counter()-t0:.1f}s")
+        from meepoembedding_tpu.table import hashing
+
+        if sharded:
+            dev = [tr._device_batch(b) for b in timed_batches]
+        else:
+            dev = []
+            for b in timed_batches:
+                hi, lo = hashing.split_ids(b["ids"])
+                dev.append((
+                    jnp.asarray(b["dense"]), jnp.asarray(hi),
+                    jnp.asarray(lo), jnp.asarray(b["label"]),
+                ))
+        jax.block_until_ready(dev)
+        windows = []
+        for _w in range(3):
+            t0 = time.perf_counter()
+            losses = []
+            for i, (dense, hi, lo, label) in enumerate(dev):
+                if sharded:
+                    (tr.stacked, tr.params, tr.opt_state, loss, _lg, _dr,
+                     _mo) = tr._step_fn(
+                        tr.stacked, tr.params, tr.opt_state, dense, hi, lo,
+                        label, jnp.int32(tr.step),
+                    )
+                else:
+                    (tr.shards, tr.params, tr.opt_state, loss, _lg,
+                     _mo) = tr._step_fn(
+                        tr.shards, tr.params, tr.opt_state, dense, hi, lo,
+                        label, jnp.int32(tr.step),
+                    )
+                tr.step += 1
+                losses.append(loss)
+                if i >= d:
+                    float(losses[i - d])
+            float(losses[-1])
+            windows.append((time.perf_counter() - t0) / steps)
+        del tr, dev
+        gc.collect()
+        return min(windows), windows
+
     # arm selection (the full sweep exceeds typical timeouts on the tunneled
-    # chip): comma list of {fast,exchange,ragged}; default all
+    # chip): comma list of {fast,exchange,ragged,group}; default the r3 trio
     arms = set(
         os.environ.get("MEEPO_OVERHEAD_ARMS", "fast,exchange,ragged").split(",")
     )
@@ -213,6 +289,16 @@ def main():
             f"[{','.join(f'{w*1e3:.0f}' for w in rew)}]  route_drops={rex_drops}")
         out["exchange_ragged_ms"] = round(rex_ms * 1e3, 2)
         out["exchange_ragged_overhead"] = round(rex_ms / fused_ms - 1.0, 4)
+    if "group" in arms:
+        g_ms, gw = run_group(sharded=False)
+        log(f"group (4-table, single-device): {g_ms*1e3:8.2f} ms/step  "
+            f"[{','.join(f'{w*1e3:.0f}' for w in gw)}]")
+        sg_ms, sgw = run_group(sharded=True)
+        log(f"group (4-table, sharded S={S}): {sg_ms*1e3:8.2f} ms/step  "
+            f"[{','.join(f'{w*1e3:.0f}' for w in sgw)}]")
+        out["group_ms"] = round(g_ms * 1e3, 2)
+        out["group_sharded_ms"] = round(sg_ms * 1e3, 2)
+        out["group_overhead"] = round(sg_ms / g_ms - 1.0, 4)
     print(json.dumps(out))
 
 
