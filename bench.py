@@ -9,9 +9,15 @@ Prints ONE JSON line:
   value   ids processed per second (lookup + in-place update per id)
   vs_baseline  ratio vs a raw static gather + scatter-add on the SAME value
     geometry with precomputed slots (no hashing/probe/dedup) — i.e. the
-    speed-of-light for a non-dynamic table on this chip. 1.0 == the dynamic
-    machinery is free. The reference publishes no numbers (BASELINE.md), so
-    this hardware-derived bound is the honest denominator.
+    speed-of-light for a non-dynamic table on this chip. The reference
+    publishes no numbers (BASELINE.md), so this hardware-derived bound is the
+    honest denominator. NOTE: this arm touches all `batch` rows; at a
+    33%-unique stream the deduped dynamic path legitimately beats it (>1).
+  vs_sol_unique  ratio vs the DEDUP-AWARE speed-of-light: gather+scatter over
+    only the U unique rows with precomputed slots AND precomputed inverse
+    (plus the irreducible [n]-expand / segment-sum the training math needs).
+    This is the true remaining-distance number — 1.0 == the hashing/probe/
+    on-device-dedup machinery is completely free.
 
 Env knobs: MEEPO_BENCH_CAP (rows, default 2^25), MEEPO_BENCH_BATCH (ids/step,
 default 2^19), MEEPO_BENCH_DIM (default 32), MEEPO_BENCH_STEPS (default 20).
@@ -293,11 +299,71 @@ def main():
     sol_ids_per_sec = batch / dt_sol
     log(f"static SOL: {sol_ids_per_sec/1e6:.2f}M ids/s (best {dt_sol*1e3:.2f} ms/step)")
 
+    # --- dedup-aware speed-of-light (VERDICT r4 missing #3): the honest ----
+    # residual. The arm above touches ALL `batch` rows — the dynamic path
+    # beats it at a 33%-unique stream by paying dedup machinery to touch only
+    # ~U rows, so vs_baseline > 1 stops measuring distance to the north-star.
+    # This arm is what a static table WITH precomputed dedup would do: gather
+    # the U unique rows, expand by the [n] inverse (the forward output must
+    # still be [n, dim]), segment-sum the [n] grads back to U (the backward
+    # must combine duplicates), one scatter-add over U rows. No hashing, no
+    # probe, no on-device unique — slots and inverses are precomputed host-
+    # side. vs_sol_unique == 1.0 means the dynamic machinery is truly free.
+    ones_u = jnp.ones((ucap,), bool)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def static_unique_cycle(values, slot_u, inverse, grad_seed):
+        rows_u = xla_ops.gather_values(spec, values, slot_u)
+        out = rows_u[inverse]
+        g = out * 1e-3 + grad_seed
+        g_u = dedup.segment_sum_grads(g, inverse, ucap)
+        values = xla_ops.scatter_add_values(
+            spec, values, slot_u, -0.05 * g_u, ones_u
+        )
+        return values, jnp.sum(out)
+
+    rng_u = np.random.default_rng(0)  # the SAME stream the dynamic arm saw
+    uslots, uinvs = [], []
+    for _ in range(steps):
+        if zipf_s <= 0:
+            hot = rng_u.integers(0, max(1, n_live // 10), size=int(batch * 0.8))
+            cold = rng_u.integers(0, n_live, size=batch - len(hot))
+            k = np.concatenate([hot, cold])
+        else:
+            t = 1.0 - zipf_s
+            u = rng_u.random(batch)
+            k = ((float(n_live) ** t - 1.0) * u + 1.0) ** (1.0 / t)
+            k = np.minimum(k.astype(np.int64), n_live) - 1
+        uk, inv = np.unique(k, return_inverse=True)
+        su = np.zeros((ucap,), np.int32)
+        su[: len(uk)] = uk[:ucap]
+        uslots.append(jax.device_put(jnp.asarray(su)))
+        uinvs.append(jax.device_put(jnp.asarray(inv.astype(np.int32))))
+    jax.block_until_ready([uslots, uinvs])
+    values, s2 = static_unique_cycle(values, uslots[0], uinvs[0], gseed)
+    jax.block_until_ready(s2)
+    windows = []
+    for _w in range(3):
+        t0 = time.perf_counter()
+        accs = []
+        for i in range(steps):
+            values, acc = static_unique_cycle(values, uslots[i], uinvs[i], gseed)
+            accs.append(acc)
+            if i >= d:
+                float(accs[i - d])
+        float(accs[-1])
+        windows.append((time.perf_counter() - t0) / steps)
+    dt_sol_u = min(windows)
+    sol_u_ids_per_sec = batch / dt_sol_u
+    log(f"static SOL (dedup-aware, U~{ucnt_max} rows): "
+        f"{sol_u_ids_per_sec/1e6:.2f}M ids/s (best {dt_sol_u*1e3:.2f} ms/step)")
+
     print(json.dumps({
         "metric": "lookup_update_ids_per_sec_per_chip",
         "value": round(ids_per_sec, 1),
         "unit": "ids/s",
         "vs_baseline": round(ids_per_sec / sol_ids_per_sec, 4),
+        "vs_sol_unique": round(ids_per_sec / sol_u_ids_per_sec, 4),
     }))
 
 

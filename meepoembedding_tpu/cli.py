@@ -690,15 +690,24 @@ def cmd_serve(args) -> int:
     model_cfg = dataclasses.replace(model_cfg, embedding_dim=table_cfg.dim)
     if getattr(args, "http", 0):
         # online endpoint: block serving HTTP until interrupted
-        if getattr(args, "distributed", False):
-            raise SystemExit(
-                "serve --http is single-device (ScoringService); drop "
-                "--distributed or use batch mode for sharded serving"
-            )
         from meepoembedding_tpu.serving import ScoringService, make_http_server
 
-        svc = ScoringService(args.ckpt, table_cfg, model_cfg,
-                             quantize=getattr(args, "quantize", "none"))
+        if getattr(args, "distributed", False):
+            # row-sharded serving over every local device: the checkpoint
+            # elastic-restores onto the mesh and /score rides the probe-only
+            # a2a exchange (serving_sharded.ShardedScoringService). Same
+            # HTTP surface — score/reload/healthz/metrics — as single-device.
+            if getattr(args, "quantize", "none") != "none":
+                raise SystemExit(
+                    "serve --http --distributed serves full-precision rows; "
+                    "drop --quantize (int8 is single-device only)"
+                )
+            from meepoembedding_tpu.serving_sharded import ShardedScoringService
+
+            svc = ShardedScoringService(args.ckpt, table_cfg, model_cfg)
+        else:
+            svc = ScoringService(args.ckpt, table_cfg, model_cfg,
+                                 quantize=getattr(args, "quantize", "none"))
         retrieval = None
         if getattr(args, "retrieval_items", None):
             # two-tower retrieval endpoint: corpus npz with item_ids [N, IF]

