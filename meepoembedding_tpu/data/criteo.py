@@ -133,16 +133,25 @@ def write_synthetic_criteo_signal(
     vocab_per_feature: int = 20000,
     zipf_s: float = 1.05,
     signal_scale: float = 0.9,
+    stream_seed: int = None,
 ):
     """Criteo-format stream WITH a planted CTR signal (for the AUC-parity
     gate, BASELINE.json): each (feature, token) carries a hidden weight;
     label ~ Bernoulli(sigmoid(bias + mean of token weights + dense term)).
     Tokens are drawn Zipf(s) per feature — the realistic head-heavy reuse.
-    Chunked + vectorized so millions of lines generate in seconds."""
+    Chunked + vectorized so millions of lines generate in seconds.
+
+    `stream_seed` (default: `seed`) draws the token/dense/label stream
+    independently of the hidden weights: parity runs can vary the TRAFFIC
+    per seed (different ids -> different table dynamics: admissions,
+    evictions, growth points) while the planted task stays identical
+    (VERDICT r4 weak #4: seeds that vary nothing but model init overstate
+    the evidence)."""
     rng = np.random.default_rng(seed)
     w = rng.normal(size=(NUM_SPARSE, vocab_per_feature)).astype(np.float32)
     w *= signal_scale
     wd = rng.normal(size=(NUM_DENSE,)).astype(np.float32) * 0.1
+    rng = np.random.default_rng(seed if stream_seed is None else stream_seed)
     t = 1.0 - zipf_s
     with open(path, "w") as fh:
         for o in range(0, num_lines, 65536):

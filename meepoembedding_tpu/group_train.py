@@ -17,11 +17,19 @@ shared-embedding pattern (e.g. "candidate item" and "behavior item ids"
 sharing the item table); their ids dedup TOGETHER, so a shared id is
 gathered and updated exactly once per step.
 
-The model is the wide concat MLP (CTR-MLP shape): logits = MLP(dense ++
-pooled per-feature embeddings), the one model family whose input
-concatenation is dim-heterogeneous by construction (DLRM dot-interaction
-requires equal dims, so it stays single-table). Tables must have dim <= 128
-(the window-space hot path).
+Two model heads (model.kind, group_head_init/apply):
+  ctr_mlp  wide concat MLP — logits = MLP(dense ++ pooled per-feature
+           embeddings); the family whose input concatenation is
+           dim-heterogeneous by construction. The default.
+  dlrm     bottom MLP + pairwise dot interaction + top MLP, when every
+           referenced table shares model.embedding_dim (dot products need
+           equal dims); the math mirrors models/dlrm.py exactly, so a group
+           DLRM on an equal-dim group computes the same function as the
+           single-table DLRM (parity-tested).
+Multi-hot [B, S, L] behavior bags pool per feature with model.combiner
+before either head. Other kinds fail loudly (DIN/BST sequences and
+two-tower retrieval remain single-table). Tables must have dim <= 128 (the
+window-space hot path).
 
 Maintenance is per member table: each table keeps its own rotating eviction
 cursor, optional spill backend, and online-growth gate (grow_at_load), so a
@@ -54,6 +62,87 @@ from meepoembedding_tpu.models.common import bce_with_logits, mlp_apply, mlp_ini
 from meepoembedding_tpu.ops import dedup, optim, pooling
 from meepoembedding_tpu.table import hashing, xla_ops
 from meepoembedding_tpu.table.layout import TableSpec, alloc_shard
+
+
+def group_head_init(model_cfg: ModelConfig, specs: Dict[str, TableSpec],
+                    feature_map: Sequence[str], key) -> dict:
+    """Dense-tower params for the group trainers' model head.
+
+    kind="ctr_mlp" (default): the wide concat MLP — the one family whose
+    input concatenation is dim-heterogeneous by construction.
+    kind="dlrm": bottom MLP + pairwise dot interaction + top MLP — REQUIRES
+    every referenced table to share model.embedding_dim (dot products need
+    equal dims) and bottom_mlp to end at it. Mirrors models/dlrm.py exactly,
+    so a single-table DLRM and an equal-dim group DLRM compute the same
+    function (tests assert this parity).
+    Anything else fails loudly: behavior-sequence models (DIN/BST) and
+    retrieval (two_tower) remain single-table-trainer territory."""
+    kind = model_cfg.kind or "ctr_mlp"
+    dt = jnp.dtype(model_cfg.dtype)
+    assert kind in ("ctr_mlp", "dlrm"), (
+        f"group trainers support model.kind ctr_mlp|dlrm, got {kind!r} — "
+        "DIN/BST behavior sequences and two_tower retrieval train against "
+        "a single table (train.Trainer / parallel.ShardedTrainer)"
+    )
+    if kind == "dlrm":
+        # dot interaction needs every referenced table at ONE dim and the
+        # bottom MLP ending there. kind="dlrm" is ModelConfig's default and
+        # group configs historically ignored it (the head was always the
+        # wide MLP), so a dim-heterogeneous group falls back to the wide
+        # concat head with a warning instead of breaking existing configs.
+        dims = {n: specs[n].dim for n in set(feature_map)}
+        dot_ok = (
+            len(set(dims.values())) == 1
+            and next(iter(dims.values())) == model_cfg.embedding_dim
+            and model_cfg.bottom_mlp
+            and model_cfg.bottom_mlp[-1] == model_cfg.embedding_dim
+        )
+        if dot_ok:
+            f = len(feature_map) + 1  # + bottom-MLP output as a feature
+            top_in = model_cfg.embedding_dim + (f * (f - 1)) // 2
+            k1, k2 = jax.random.split(key)
+            return {
+                "bottom": mlp_init(k1, model_cfg.bottom_mlp,
+                                   model_cfg.num_dense_features, dt),
+                "top": mlp_init(k2, model_cfg.top_mlp, top_in, dt),
+            }
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "group model.kind=dlrm but the group is not dot-compatible "
+            "(dims %s vs embedding_dim %d, bottom_mlp %s); using the wide "
+            "concat MLP head", dims, model_cfg.embedding_dim,
+            model_cfg.bottom_mlp,
+        )
+    in_dim = model_cfg.num_dense_features + sum(
+        specs[fn].dim for fn in feature_map
+    )
+    return {"mlp": mlp_init(key, model_cfg.top_mlp, in_dim, dt)}
+
+
+def group_head_apply(model_cfg: ModelConfig, params: dict, dense, feats) -> jax.Array:
+    """feats: per-feature pooled embeddings [B, dim_s] in batch-column order
+    -> logits [B]. Differentiable w.r.t. params and feats."""
+    mc = model_cfg
+    if "mlp" in params:  # wide concat
+        z = jnp.concatenate(
+            [dense.astype(mc.dtype)] + [f.astype(mc.dtype) for f in feats],
+            axis=1,
+        )
+        return mlp_apply(params["mlp"], z).reshape(-1).astype(jnp.float32)
+    # DLRM dot interaction (models/dlrm.py's math on the group's features)
+    x = mlp_apply(params["bottom"], dense.astype(mc.dtype),
+                  final_activation=True)  # [B, D]
+    emb = jnp.stack(feats, axis=1)  # [B, S, D] — equal dims by group_head_init
+    fs = jnp.concatenate([x[:, None, :], emb.astype(x.dtype)], axis=1)
+    inter = jnp.einsum(
+        "bfd,bgd->bfg", fs, fs, preferred_element_type=jnp.float32
+    )
+    f = len(feats) + 1
+    iu, ju = np.triu_indices(f, k=1)
+    flat = inter[:, jnp.asarray(iu), jnp.asarray(ju)]
+    z = jnp.concatenate([x, flat.astype(x.dtype)], axis=1)
+    return mlp_apply(params["top"], z).reshape(-1).astype(jnp.float32)
 
 
 class GroupTrainer:
@@ -108,13 +197,10 @@ class GroupTrainer:
             n: [s for s, fn in enumerate(self.feature_map) if fn == n]
             for n in self.names
         }
-        in_dim = model_cfg.num_dense_features + sum(
-            self.specs[fn].dim for fn in self.feature_map
-        )
         key = jax.random.PRNGKey(run_cfg.seed)
-        self.params = {
-            "mlp": mlp_init(key, model_cfg.top_mlp, in_dim, jnp.dtype(model_cfg.dtype))
-        }
+        self.params = group_head_init(
+            model_cfg, self.specs, self.feature_map, key
+        )
         self.opt_state = optim.dense_adam_init(self.params)
         self.step = 0
         self.auc = StreamingAUC()
@@ -178,11 +264,7 @@ class GroupTrainer:
                 for s, fn in enumerate(self.feature_map):
                     k = self.table_features[fn].index(s)
                     feats.append(per_table[fn][:, k])
-                z = jnp.concatenate(
-                    [dense.astype(mc.dtype)] + [f.astype(mc.dtype) for f in feats],
-                    axis=1,
-                )
-                logits = mlp_apply(params["mlp"], z).reshape(-1).astype(jnp.float32)
+                logits = group_head_apply(mc, params, dense, feats)
                 return bce_with_logits(logits, label), logits
 
             g128s = {n: ctxs[n].g128 for n in names}
@@ -224,11 +306,7 @@ class GroupTrainer:
             for s, fn in enumerate(self.feature_map):
                 k = self.table_features[fn].index(s)
                 feats.append(per_table[fn][:, k])
-            z = jnp.concatenate(
-                [dense.astype(mc.dtype)] + [f.astype(mc.dtype) for f in feats],
-                axis=1,
-            )
-            logits = mlp_apply(params["mlp"], z).reshape(-1).astype(jnp.float32)
+            logits = group_head_apply(mc, params, dense, feats)
             return bce_with_logits(logits, label), logits
 
         return eval_fn
@@ -528,17 +606,12 @@ class ShardedGroupTrainer:
             n: [s for s, fn in enumerate(self.feature_map) if fn == n]
             for n in self.names
         }
-        in_dim = model_cfg.num_dense_features + sum(
-            self.specs[fn].dim for fn in self.feature_map
-        )
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         rep = NamedSharding(self.mesh, P())
         key = jax.random.PRNGKey(run_cfg.seed)
         self.params = jax.device_put(
-            {"mlp": mlp_init(key, model_cfg.top_mlp, in_dim,
-                             jnp.dtype(model_cfg.dtype))},
-            rep,
+            group_head_init(model_cfg, self.specs, self.feature_map, key), rep
         )
         self.opt_state = jax.device_put(optim.dense_adam_init(self.params), rep)
         self.step = 0
@@ -608,6 +681,8 @@ class ShardedGroupTrainer:
                 n: st.a2a_capacity(ucaps[n], S, self.a2a_factor) for n in names
             }
 
+        omaj = S if (ragged and S > 1) else 0
+
         def lookup_all(shards, hi, lo, step, train):
             """Per-table dedup + exchange. Returns (shards', per-table
             (uniq, emb_u, ctx), summed drop delta)."""
@@ -617,11 +692,13 @@ class ShardedGroupTrainer:
                 cols = jnp.asarray(self.table_features[n])
                 h = jnp.take(hi, cols, axis=1)
                 l = jnp.take(lo, cols, axis=1)
-                uniq = dedup.unique_pairs(h.reshape(-1), l.reshape(-1), ucaps[n])
+                uniq = dedup.unique_pairs(h.reshape(-1), l.reshape(-1),
+                                          ucaps[n], owner_major=omaj)
                 d0 = shards[n].counters[st.ROUTE_DROPS]
                 shard, emb_u, ctx = st.exchange_lookup(
                     specs[n], shards[n], uniq.hi, uniq.lo, uniq.valid, step,
                     SHARD_AXIS, a2a_caps[n], train=train, ragged=ragged,
+                    owner_sorted=bool(omaj),
                 )
                 drops = drops + (shard.counters[st.ROUTE_DROPS] - d0)
                 shards[n] = shard
@@ -670,11 +747,7 @@ class ShardedGroupTrainer:
 
             def loss_fn(params, emb_us):
                 feats = features(emb_us, lookups, hi, lo)
-                z = jnp.concatenate(
-                    [dense.astype(mc.dtype)] + [f.astype(mc.dtype) for f in feats],
-                    axis=1,
-                )
-                logits = mlp_apply(params["mlp"], z).reshape(-1).astype(jnp.float32)
+                logits = group_head_apply(mc, params, dense, feats)
                 # 1/S: grads carry GLOBAL-batch-mean scale (see ShardedTrainer)
                 return bce_with_logits(logits, label) / S, logits
 
@@ -705,11 +778,7 @@ class ShardedGroupTrainer:
             drops = lax.psum(drops, SHARD_AXIS)
             emb_us = {n: lookups[n][1] for n in names}
             feats = features(emb_us, lookups, hi, lo)
-            z = jnp.concatenate(
-                [dense.astype(mc.dtype)] + [f.astype(mc.dtype) for f in feats],
-                axis=1,
-            )
-            logits = mlp_apply(params["mlp"], z).reshape(-1).astype(jnp.float32)
+            logits = group_head_apply(mc, params, dense, feats)
             loss = lax.pmean(bce_with_logits(logits, label), SHARD_AXIS)
             return loss, logits, drops
 

@@ -84,50 +84,72 @@ class RaggedPlan(NamedTuple):
     n_drop: jax.Array  # i32 [] ids beyond the receiver clamp (counted once)
 
 
-def make_plan(uh, ul, valid, S: int, rcap: int, axis: str) -> RaggedPlan:
-    """Owner-sort the local uniques and negotiate clamped counts/offsets.
+def make_plan(uh, ul, valid, S: int, rcap: int, axis: str,
+              owner_sorted: bool = False) -> RaggedPlan:
+    """Build the routing geometry and negotiate clamped counts/offsets.
 
-    Two tiny dense `[S, 2]` all_to_alls do the whole negotiation:
-      round 1  (send_sizes, my segment start) -> receiver learns its inflow
-               and where returning rows must land at each source.
-      round 2  (clamped accept count, receive offset) -> sender learns how
-               much of each segment survives and the remote write offset.
-    """
+    `owner_sorted=True` declares the uniques ALREADY owner-grouped ascending
+    with invalid ids last — what `dedup.unique_pairs(owner_major=S)` emits —
+    and skips the [U] owner argsort entirely: the step's one dedup sort does
+    double duty as the send-buffer compaction (VERDICT r4 next-#8).
+
+    The negotiation is ONE [S, 2] all_gather (was: two DEPENDENT [S, 2]
+    all_to_alls — a serial 2-round latency chain). Gathering every device's
+    (per-destination count, segment start) hands each device the full
+    [S_src, S_dst] count matrix, from which BOTH sides of the clamp derive
+    locally: my inflow clamp (column me), every receiver's clamp of MY
+    segments (my row vs the column prefix sums), and the reverse-path write
+    offsets (the gathered segment starts). Same bytes on the wire, half the
+    rounds."""
     n = uh.shape[0]
     owner = hashing.owner_of(uh, ul, S)
     owner = jnp.where(valid, owner, S)
-    order, rank_sorted = _segmented_rank(owner)
     idx = jnp.arange(n, dtype=jnp.int32)
-    sendpos = jnp.zeros((n,), jnp.int32).at[order].set(idx)
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+    if owner_sorted:
+        order = idx
+        sendpos = idx
+        ks = owner  # already owner-grouped ascending, invalids last
+    else:
+        order, rank_sorted = _segmented_rank(owner)
+        sendpos = jnp.zeros((n,), jnp.int32).at[order].set(idx)
+        ks = jnp.take(owner, order)
     # Segment geometry straight from the sorted owners: S+1 binary searches,
     # no [n]-sized scatter/bincount (1-D scatters measured 7+ ms at n=512K
     # on v5e — the same pathology the dedup rewrite removed).
-    ks = jnp.take(owner, order)
     bounds = jnp.searchsorted(
         ks, jnp.arange(S + 1, dtype=ks.dtype), side="left"
     ).astype(jnp.int32)
     in_off = bounds[:-1]
     send_want = bounds[1:] - bounds[:-1]
-
-    # round 1: counts + my segment starts to every destination
-    r1 = lax.all_to_all(
-        jnp.stack([send_want, in_off], axis=-1)[:, None, :], axis, 0, 0
-    )[:, 0, :]
-    recv_want, rev_out_off = r1[:, 0], r1[:, 1]
-
-    # receiver-side clamp to the static buffer
-    cum = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(recv_want)[:-1].astype(jnp.int32)]
+    # rank of each unique within its owner segment (positions are owner-
+    # sorted, so rank = sorted position - segment start)
+    rank_sorted2 = idx - jnp.take(in_off, jnp.clip(ks, 0, S - 1))
+    rank = (
+        rank_sorted2 if owner_sorted
+        else jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted2)
     )
+
+    # one-round negotiation: everyone's (counts row, segment starts row)
+    g = lax.all_gather(
+        jnp.stack([send_want, in_off], axis=-1), axis
+    )  # [S_src, S_dst, 2]
+    C = g[:, :, 0]  # C[src, dst]: rows src wants to send dst
+    me = lax.axis_index(axis)
+    # column-wise exclusive prefix over sources = each receiver's clamp state
+    cum_all = jnp.concatenate(
+        [jnp.zeros((1, S), jnp.int32), jnp.cumsum(C, axis=0)[:-1]], axis=0
+    )
+    # my inflow (receiver side): column `me`
+    recv_want = C[:, me]
+    cum = cum_all[:, me]
     recv_off = jnp.minimum(cum, rcap)
     recv = jnp.clip(rcap - cum, 0, recv_want)
-
-    # round 2: accepted counts + receive offsets back to the senders
-    r2 = lax.all_to_all(
-        jnp.stack([recv, recv_off], axis=-1)[:, None, :], axis, 0, 0
-    )[:, 0, :]
-    send, out_off = r2[:, 0], r2[:, 1]
+    # my outflow (sender side): row `me` against every column's prefix
+    mine = jnp.take(cum_all, me, axis=0)  # [S_dst] rows ahead of my segment
+    send = jnp.clip(rcap - mine, 0, jnp.take(C, me, axis=0))
+    out_off = jnp.minimum(mine, rcap)
+    # where my returning rows land at each source: its segment start for me
+    rev_out_off = g[:, :, 1][:, me]
 
     ok = valid & (rank < jnp.take(send, jnp.clip(owner, 0, S - 1)))
     n_drop = jnp.sum(valid & ~ok).astype(jnp.int32)
@@ -187,6 +209,7 @@ class RaggedCtx(NamedTuple):
     miss_hi: jax.Array
     miss_lo: jax.Array
     miss: jax.Array
+    owner_sorted: bool = False  # uniques pre-sorted by owner (no permute)
 
 
 def exchange_lookup(
@@ -199,15 +222,19 @@ def exchange_lookup(
     axis: str,
     rcap: int,
     train: bool = True,
+    owner_sorted: bool = False,
 ) -> Tuple[TableShard, jax.Array, RaggedCtx]:
     """Ragged sharded find_or_insert + gather for local unique ids.
-    Mirrors sharded_table.exchange_lookup but ships only routed rows."""
+    Mirrors sharded_table.exchange_lookup but ships only routed rows.
+    owner_sorted=True: the uniques came from unique_pairs(owner_major=S),
+    so the send buffer needs no permutation (see make_plan)."""
     from meepoembedding_tpu.parallel import sharded_table as st
 
     S = lax.axis_size(axis)
-    plan = make_plan(uh, ul, valid, S, rcap, axis)
+    plan = make_plan(uh, ul, valid, S, rcap, axis, owner_sorted=owner_sorted)
 
-    ids_sorted = jnp.stack([uh, ul], axis=-1)[plan.order]  # [U, 2]
+    ids2 = jnp.stack([uh, ul], axis=-1)  # [U, 2]
+    ids_sorted = ids2 if owner_sorted else ids2[plan.order]
     rbuf = jnp.stack(
         [
             jnp.full((rcap,), hashing.EMPTY_HI, jnp.int32),
@@ -247,7 +274,8 @@ def exchange_lookup(
     back = _transport(
         rows, back, plan.recv_off, plan.recv, plan.rev_out_off, plan.send, axis
     )
-    emb_u = jnp.where(plan.ok[:, None], back[plan.sendpos], 0)
+    back_u = back if owner_sorted else back[plan.sendpos]
+    emb_u = jnp.where(plan.ok[:, None], back_u, 0)
 
     shard = shard._replace(
         counters=shard.counters.at[st.ROUTE_DROPS].add(plan.n_drop)
@@ -255,6 +283,7 @@ def exchange_lookup(
     return shard, emb_u, RaggedCtx(
         plan=plan, lctx=lctx, inverse=runiq.inverse,
         miss_hi=runiq.hi, miss_lo=runiq.lo, miss=runiq.valid & ~found,
+        owner_sorted=owner_sorted,
     )
 
 
@@ -273,7 +302,8 @@ def exchange_apply_grads(
         if spec.dtype == jnp.bfloat16 and st.GRAD_WIRE_BF16
         else jnp.float32
     )
-    g_sorted = g_u.astype(wire_dtype)[plan.order]  # [U, dim]
+    g_w = g_u.astype(wire_dtype)
+    g_sorted = g_w if ctx.owner_sorted else g_w[plan.order]  # [U, dim]
     recv_g = jnp.zeros((rcap, spec.dim), wire_dtype)
     recv_g = _transport(
         g_sorted, recv_g, plan.in_off, plan.send, plan.out_off, plan.recv, axis

@@ -124,6 +124,7 @@ def exchange_lookup(
     cap: int,
     train: bool = True,
     ragged: bool = False,
+    owner_sorted: bool = False,
 ) -> Tuple[TableShard, jax.Array, RouteCtx]:
     """Sharded find_or_insert + gather for local unique ids.
     Returns (shard', emb_u [U, dim], ctx for the gradient reverse path).
@@ -166,7 +167,8 @@ def exchange_lookup(
         from meepoembedding_tpu.parallel import ragged as rg
 
         return rg.exchange_lookup(
-            spec, shard, uh, ul, valid, step, axis, cap, train=train
+            spec, shard, uh, ul, valid, step, axis, cap, train=train,
+            owner_sorted=owner_sorted,
         )
     owner, pos, ok = _route(uh, ul, valid, S, cap)
 

@@ -110,14 +110,19 @@ def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap:
     else:
         cap = st.a2a_capacity(unique_cap, S, a2a_factor)
 
+    # ragged exchange: owner-major dedup makes the step's one sort double as
+    # the send-buffer compaction (the plan then skips its own [U] argsort)
+    omaj = S if (ragged and S > 1) else 0
+
     def step_impl(stacked, params, opt_state, dense, hi, lo, label, step, logq):
         shard = st.squeeze_shard(stacked)
-        uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), unique_cap)
+        uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), unique_cap,
+                                  owner_major=omaj)
         bag_valid = hashing.is_valid(hi, lo) if hi.ndim == 3 else None
         drops0 = shard.counters[st.ROUTE_DROPS]
         shard, emb_u, ctx = st.exchange_lookup(
             spec, shard, uniq.hi, uniq.lo, uniq.valid, step, SHARD_AXIS, cap,
-            train=True, ragged=ragged,
+            train=True, ragged=ragged, owner_sorted=bool(omaj),
         )
         drops = lax.psum(shard.counters[st.ROUTE_DROPS] - drops0, SHARD_AXIS)
         # owner-side miss info, per shard (async cold-tier promotion feed)
@@ -174,14 +179,17 @@ def make_sharded_eval(spec: TableSpec, model, mesh, unique_cap: int, a2a_factor:
     else:
         cap = st.a2a_capacity(unique_cap, S, a2a_factor)
 
+    omaj = S if (ragged and S > 1) else 0
+
     def eval_impl(stacked, params, dense, hi, lo, label):
         shard = st.squeeze_shard(stacked)
-        uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), unique_cap)
+        uniq = dedup.unique_pairs(hi.reshape(-1), lo.reshape(-1), unique_cap,
+                                  owner_major=omaj)
         bag_valid = hashing.is_valid(hi, lo) if hi.ndim == 3 else None
         drops0 = shard.counters[st.ROUTE_DROPS]
         shard2, emb_u, _ = st.exchange_lookup(
             spec, shard, uniq.hi, uniq.lo, uniq.valid, jnp.int32(0), SHARD_AXIS, cap,
-            train=False, ragged=ragged,
+            train=False, ragged=ragged, owner_sorted=bool(omaj),
         )
         # the updated shard is discarded (eval mutates nothing), but the drop
         # count must NOT be: a dropped id silently scores with a zero row, so

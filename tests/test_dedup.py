@@ -101,3 +101,44 @@ def test_unique_pairs_cap_larger_than_batch():
         np.asarray(u.lo)[np.asarray(u.inverse)],
     )
     np.testing.assert_array_equal(back, ids)
+
+
+def test_unique_pairs_owner_major(rng):
+    """owner_major=S: same unique SET and inverse semantics as the standard
+    sort, but uniques grouped by owner shard ascending (invalids last) and
+    key-sorted within each owner group (VERDICT r4 next-#8)."""
+    import jax.numpy as jnp
+
+    from meepoembedding_tpu.ops.dedup import unique_pairs
+    from meepoembedding_tpu.table import hashing
+
+    S = 8
+    ids = rng.integers(1, 5000, size=512).astype(np.int64)
+    ids[500:] = hashing.EMPTY_ID  # pad tail
+    hi, lo = hashing.split_ids(ids)
+    hi, lo = jnp.asarray(hi), jnp.asarray(lo)
+    u0 = unique_pairs(hi, lo, 512)
+    u1 = unique_pairs(hi, lo, 512, owner_major=S)
+    assert int(u0.count) == int(u1.count)
+    k0 = set(np.asarray(u0.hi)[np.asarray(u0.valid)].tolist())
+    k1 = set(np.asarray(u1.hi)[np.asarray(u1.valid)].tolist())
+    # same unique set (hi alone may collide; compare joined ids)
+    j0 = hashing.join_ids(np.asarray(u0.hi), np.asarray(u0.lo))[np.asarray(u0.valid)]
+    j1 = hashing.join_ids(np.asarray(u1.hi), np.asarray(u1.lo))[np.asarray(u1.valid)]
+    assert set(j0.tolist()) == set(j1.tolist())
+    # inverse maps every input id to ITS unique slot
+    for u in (u0, u1):
+        uh, ul, inv = np.asarray(u.hi), np.asarray(u.lo), np.asarray(u.inverse)
+        np.testing.assert_array_equal(uh[inv], np.asarray(hi))
+        np.testing.assert_array_equal(ul[inv], np.asarray(lo))
+    # owner-major ordering: valid uniques non-decreasing in owner; invalid last
+    own = np.asarray(hashing.owner_of(u1.hi, u1.lo, S))
+    v = np.asarray(u1.valid)
+    ow_v = own[v]
+    assert (np.diff(ow_v) >= 0).all()
+    assert not v[int(u1.count):].any()
+    # within each owner group, key-sorted ascending (uint64 order on join)
+    j = hashing.join_ids(np.asarray(u1.hi), np.asarray(u1.lo))[v]
+    for s in range(S):
+        seg = j[ow_v == s]
+        assert (np.diff(seg.astype(np.uint64).view(np.int64)) > 0).all() or len(seg) <= 1

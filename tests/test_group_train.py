@@ -130,3 +130,84 @@ def test_group_multihot_bags():
             "label": np.zeros(B, np.float32),
         })["logits"])
     ).all()
+
+
+def test_group_dlrm_parity_with_single_table_dlrm():
+    """model.kind=dlrm on an equal-dim group computes the SAME function as
+    the single-table DLRM trainer (VERDICT r4 next-#7): same seeds, same
+    stream, one table serving every feature -> identical losses/logits."""
+    from meepoembedding_tpu.train import Trainer
+
+    dim = 16
+    table = TableConfig(
+        dim=dim, capacity=1 << 12, initializer_scale=0.05,
+        optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.05),
+    )
+    model = ModelConfig(
+        kind="dlrm", num_dense_features=ND, num_sparse_features=3,
+        embedding_dim=dim, bottom_mlp=(32, dim), top_mlp=(32, 1),
+    )
+    run = RunConfig(batch_size=B, steps=10, seed=0, dense_learning_rate=1e-3)
+
+    single = Trainer(run, table, model)
+    group = GroupTrainer(run, {"t": table}, ["t", "t", "t"], model)
+    assert "bottom" in group.params and "top" in group.params  # DLRM head on
+
+    rng = np.random.default_rng(7)
+    for i in range(10):
+        b = _batch(rng)
+        l1 = single.train_step(b)["loss"]
+        l2 = group.train_step(b)["loss"]
+        np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-6)
+    b = _batch(rng)
+    o1 = single.eval_step(b)
+    o2 = group.eval_step(b)
+    np.testing.assert_allclose(
+        np.asarray(o1["logits"]), np.asarray(o2["logits"]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_group_dlrm_two_tables_learns():
+    """DLRM head over a genuinely multi-table equal-dim group trains."""
+    dim = 16
+    tables = {
+        "user": TableConfig(
+            dim=dim, capacity=1 << 12, initializer_scale=0.05,
+            optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.1),
+        ),
+        "item": TableConfig(
+            dim=dim, capacity=1 << 12, initializer_scale=0.05,
+            optimizer=OptimizerConfig(kind="ftrl", learning_rate=0.05),
+        ),
+    }
+    model = ModelConfig(
+        kind="dlrm", num_dense_features=ND, num_sparse_features=3,
+        embedding_dim=dim, bottom_mlp=(32, dim), top_mlp=(32, 1),
+    )
+    tr = GroupTrainer(
+        RunConfig(batch_size=B, steps=400, dense_learning_rate=1e-2),
+        tables, ["user", "item", "item"], model,
+    )
+    assert "bottom" in tr.params  # equal dims: dot interaction active
+    rng = np.random.default_rng(0)
+    for _ in range(400):
+        tr.train_step(_batch(rng))
+    auc = StreamingAUC()
+    for _ in range(8):
+        b = _batch(rng)
+        auc.update(np.asarray(tr.eval_step(b)["logits"]), b["label"])
+    assert auc.compute() > 0.8
+
+
+def test_group_heterodim_dlrm_falls_back_to_wide_mlp():
+    """kind=dlrm (the ModelConfig default) over a dim-heterogeneous group
+    keeps the historical wide-MLP head (with a warning) instead of breaking."""
+    tr = GroupTrainer(RunConfig(batch_size=B, steps=2), TABLES, FEATURES, MODEL)
+    assert "mlp" in tr.params and "bottom" not in tr.params
+
+
+def test_group_rejects_sequence_model_kinds():
+    model = ModelConfig(kind="din", num_dense_features=ND,
+                        num_sparse_features=3, top_mlp=(32, 1))
+    with pytest.raises(AssertionError, match="single table"):
+        GroupTrainer(RunConfig(batch_size=B, steps=2), TABLES, FEATURES, model)
