@@ -59,12 +59,12 @@ def _mk_trainer(mesh, spill, steps):
     run = RunConfig(batch_size=B, steps=steps, seed=0,
                     dense_learning_rate=1e-3, pipeline_depth=2)
     table = TableConfig(
-        dim=16, capacity=1 << 15, grow_at_load=0.8,
+        dim=16, capacity=1 << 13, grow_at_load=0.8,
         optimizer=OptimizerConfig(kind="rowwise_adagrad", learning_rate=0.05),
         policy=PolicyConfig(
             admit_threshold=2, evict_policy="lfu_ttl", ttl_steps=80,
             lfu_min_freq=2, max_evict_per_pass=1 << 13,
-            evict_scan_buckets=96,  # non-divisor window: wrap path exercised
+            evict_scan_buckets=24,  # non-divisor window: wrap path exercised
         ),
     )
     model = ModelConfig(
@@ -78,7 +78,7 @@ def _mk_trainer(mesh, spill, steps):
 def test_lifecycle_soak_with_elastic_reshard(tmp_path):
     spill = DiskKVStore(
         SpillCodec(TableSpec.from_config(
-            TableConfig(dim=16, capacity=1 << 15,
+            TableConfig(dim=16, capacity=1 << 13,
                         optimizer=OptimizerConfig(kind="rowwise_adagrad")),
             num_shards=1,
         )).width,
@@ -99,7 +99,7 @@ def test_lifecycle_soak_with_elastic_reshard(tmp_path):
     c8 = tr.counters()
     rows8 = len(tr)
     cap8 = tr.spec.capacity
-    assert cap8 > (1 << 15), "growth never fired on the 8-shard mesh"
+    assert cap8 > (1 << 13), "growth never fired on the 8-shard mesh"
     assert c8["evictions"] > 0, c8
     assert c8["spills"] > 0, c8
     assert c8["denied"] > 0, c8
