@@ -59,8 +59,7 @@ def main():
                 ids_all[rng.integers(0, rows, size=(batch, ns))],
             )
 
-    for mode, q in (("f32", "none"), ("int8", "int8")):
-        svc = ScoringService(ck, table_cfg, model_cfg, quantize=q)
+    def run_one(mode, svc, mb):
         d0, i0 = next(iter(batches()))
         svc.score(d0, i0)  # compile
         lat = []
@@ -70,10 +69,6 @@ def main():
             svc.score(dense, ids)
             lat.append((time.perf_counter() - s0) * 1e3)
         dt = time.perf_counter() - t0
-        if q == "int8":
-            mb = svc.table.nbytes() / 1e6
-        else:
-            mb = svc.table.spec.hbm_bytes() / 1e6
         print(json.dumps({
             "mode": mode,
             "scores_per_sec": round(steps * batch / dt, 1),
@@ -81,6 +76,22 @@ def main():
             "p99_ms": round(float(np.percentile(lat, 99)), 2),
             "table_mb": round(mb, 1),
         }), flush=True)
+
+    for mode, q in (("f32", "none"), ("int8", "int8")):
+        svc = ScoringService(ck, table_cfg, model_cfg, quantize=q)
+        mb = (svc.table.nbytes() if q == "int8"
+              else svc.table.spec.hbm_bytes()) / 1e6
+        run_one(mode, svc, mb)
+
+    # distributed service over every local device (S=1 on the single-chip
+    # bench rig: prices the service stack + probe-only exchange wrapper;
+    # multi-chip QPS scales with the mesh by construction)
+    from meepoembedding_tpu.parallel.mesh import make_mesh
+    from meepoembedding_tpu.serving_sharded import ShardedScoringService
+
+    svc = ShardedScoringService(ck, table_cfg, model_cfg, mesh=make_mesh())
+    run_one(f"sharded_S{svc.S}", svc,
+            svc.spec.hbm_bytes() * svc.S / 1e6)
 
 
 if __name__ == "__main__":

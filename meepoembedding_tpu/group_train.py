@@ -681,7 +681,7 @@ class ShardedGroupTrainer:
                 n: st.a2a_capacity(ucaps[n], S, self.a2a_factor) for n in names
             }
 
-        omaj = S if (ragged and S > 1) else 0
+        omaj = S if (ragged and (S > 1 or st.FORCE_EXCHANGE)) else 0
 
         def lookup_all(shards, hi, lo, step, train):
             """Per-table dedup + exchange. Returns (shards', per-table

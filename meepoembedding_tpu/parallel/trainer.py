@@ -111,8 +111,9 @@ def make_sharded_step(spec: TableSpec, model, mesh, dense_lr: float, unique_cap:
         cap = st.a2a_capacity(unique_cap, S, a2a_factor)
 
     # ragged exchange: owner-major dedup makes the step's one sort double as
-    # the send-buffer compaction (the plan then skips its own [U] argsort)
-    omaj = S if (ragged and S > 1) else 0
+    # the send-buffer compaction (the plan then skips its own [U] argsort).
+    # FORCE_EXCHANGE (the S=1 overhead bench) prices the same slimmed plan.
+    omaj = S if (ragged and (S > 1 or st.FORCE_EXCHANGE)) else 0
 
     def step_impl(stacked, params, opt_state, dense, hi, lo, label, step, logq):
         shard = st.squeeze_shard(stacked)
@@ -179,7 +180,7 @@ def make_sharded_eval(spec: TableSpec, model, mesh, unique_cap: int, a2a_factor:
     else:
         cap = st.a2a_capacity(unique_cap, S, a2a_factor)
 
-    omaj = S if (ragged and S > 1) else 0
+    omaj = S if (ragged and (S > 1 or st.FORCE_EXCHANGE)) else 0
 
     def eval_impl(stacked, params, dense, hi, lo, label):
         shard = st.squeeze_shard(stacked)

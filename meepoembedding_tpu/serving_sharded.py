@@ -90,16 +90,15 @@ class ShardedScoringService:
             spec = TableSpec.from_config(cfg, num_shards=self.S)
         self.table_cfg = cfg
 
+        template = alloc_stacked_shards(spec, self.mesh)
         my_ids = sorted(
-            {s.index[0].start or 0 for s in alloc_stacked_shards(spec, self.mesh)
-             .cnt.addressable_shards}
+            {s.index[0].start or 0 for s in template.cnt.addressable_shards}
         )
         shards, manifest = checkpoint.restore_shards(
             spec, path, self.S, only_ids=set(my_ids)
         )
         stacked = stacked_from_shards(
-            {i: shards[i] for i in my_ids}, self.mesh,
-            alloc_stacked_shards(spec, self.mesh),
+            {i: shards[i] for i in my_ids}, self.mesh, template
         )
         params = self.model.init(jax.random.PRNGKey(0))
         if "params" in manifest.get("dense", []):
