@@ -134,6 +134,9 @@ def write_synthetic_criteo_signal(
     zipf_s: float = 1.05,
     signal_scale: float = 0.9,
     stream_seed: int = None,
+    interaction_scale: float = 0.0,
+    interaction_rank: int = 4,
+    interaction_pairs: int = 8,
 ):
     """Criteo-format stream WITH a planted CTR signal (for the AUC-parity
     gate, BASELINE.json): each (feature, token) carries a hidden weight;
@@ -146,11 +149,30 @@ def write_synthetic_criteo_signal(
     per seed (different ids -> different table dynamics: admissions,
     evictions, growth points) while the planted task stays identical
     (VERDICT r4 weak #4: seeds that vary nothing but model init overstate
-    the evidence)."""
+    the evidence).
+
+    `interaction_scale > 0` adds a LATENT-FACTOR pairwise term (VERDICT r4
+    missing #6: a unary-only signal scores every model family identically,
+    hiding model-level regressions): `interaction_pairs` feature pairs
+    (f, g) carry hidden rank-`interaction_rank` token factors and contribute
+    <u_f[tok_f], u_g[tok_g]> to the logit — exactly the structure
+    dot-interaction models (DLRM/DeepFM's FM term) express natively and a
+    pure concat-MLP must memorize combinatorially. bench_model_zoo.py uses
+    this to assert the interaction families measurably beat the wide MLP."""
     rng = np.random.default_rng(seed)
     w = rng.normal(size=(NUM_SPARSE, vocab_per_feature)).astype(np.float32)
     w *= signal_scale
     wd = rng.normal(size=(NUM_DENSE,)).astype(np.float32) * 0.1
+    pairs, u_fac = [], None
+    if interaction_scale > 0:
+        fs = rng.permutation(NUM_SPARSE)
+        pairs = [
+            (int(fs[2 * p]), int(fs[2 * p + 1]))
+            for p in range(min(interaction_pairs, NUM_SPARSE // 2))
+        ]
+        u_fac = rng.normal(
+            size=(NUM_SPARSE, vocab_per_feature, interaction_rank)
+        ).astype(np.float32) / np.sqrt(interaction_rank)
     rng = np.random.default_rng(seed if stream_seed is None else stream_seed)
     t = 1.0 - zipf_s
     with open(path, "w") as fh:
@@ -167,6 +189,10 @@ def write_synthetic_criteo_signal(
                 + np.log1p(dense) @ wd
                 - 1.0
             )
+            for f, g in pairs:
+                logit += interaction_scale * np.einsum(
+                    "nr,nr->n", u_fac[f, tok[:, f]], u_fac[g, tok[:, g]]
+                )
             label = (rng.random(n) < 1.0 / (1.0 + np.exp(-logit))).astype(int)
             lines = []
             for j in range(n):

@@ -8,7 +8,6 @@ import threading
 import urllib.request
 
 import numpy as np
-import pytest
 
 from meepoembedding_tpu.config import ModelConfig, OptimizerConfig, RunConfig, TableConfig
 from meepoembedding_tpu.parallel.mesh import make_mesh

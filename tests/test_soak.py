@@ -9,8 +9,6 @@ clean on every shard at the end.
 This is the config-5 shape (BASELINE.json: elastic scale-up mid-training)
 at CPU-tractable size; the same code paths run at 2^27+ on hardware."""
 
-import os
-
 import numpy as np
 import pytest
 
@@ -23,7 +21,7 @@ from meepoembedding_tpu.config import (
 )
 from meepoembedding_tpu.parallel.mesh import make_mesh
 from meepoembedding_tpu.parallel.trainer import ShardedTrainer
-from meepoembedding_tpu.table import hashing, xla_ops
+from meepoembedding_tpu.table import xla_ops
 from meepoembedding_tpu.table.layout import TableSpec
 from meepoembedding_tpu.tiering import SpillCodec
 
@@ -128,9 +126,11 @@ def test_lifecycle_soak_with_elastic_reshard(tmp_path):
             tr4.maintenance()
     tr4.flush()
     c4 = tr4.counters()
-    # lifetime counters carried through the checkpoint and kept growing
-    assert c4["inserts"] >= c8["inserts"]
-    assert c4["evictions"] >= c8["evictions"]
+    # counters are per-process lifetime (restore starts fresh shards): the
+    # restore itself re-inserted every live row, and phase B kept the
+    # machinery running on the 4-shard mesh
+    assert c4["inserts"] >= rows8, (c4, rows8)
+    assert c4["evictions"] > 0, c4
     assert c4["route_drops"] == 0
     # promotion machinery fired across the whole run: drifting hot sets
     # re-touch evicted ids, whose spilled state returns from the cold tier
