@@ -631,10 +631,25 @@ def _serve_group(args, run_cfg, tables, feature_map, model_cfg) -> int:
     import jax
 
     if getattr(args, "http", 0):
-        raise SystemExit(
-            "serve --http is single-table (ScoringService); use batch mode "
-            "for `tables:` group checkpoints"
+        # online endpoint over the group checkpoint (GroupScoringService):
+        # same HTTP surface as the single-table services; --distributed
+        # restores every member row-sharded over the local mesh
+        from meepoembedding_tpu.serving import make_http_server
+        from meepoembedding_tpu.serving_group import GroupScoringService
+
+        svc = GroupScoringService(
+            args.ckpt, run_cfg, tables, feature_map, model_cfg,
+            distributed=bool(getattr(args, "distributed", False)
+                             and jax.device_count() > 1),
         )
+        srv = make_http_server(svc, args.http)
+        print(json.dumps({"serving": f"http://127.0.0.1:{args.http}",
+                          **svc.stats()}), flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        return 0
     stream = make_train_stream(
         args.data, run_cfg, model_cfg, jax.process_index(),
         jax.process_count(), bag_len=getattr(args, "bag_len", 1),

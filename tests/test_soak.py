@@ -149,3 +149,47 @@ def test_lifecycle_soak_with_elastic_reshard(tmp_path):
         )
         for k, v in out.items():
             assert int(v) == 0, f"shard {sid}: invariant {k} violated ({int(v)})"
+
+
+@pytest.mark.slow
+def test_soak_elastic_scale_up(tmp_path):
+    """Config-5's actual shape (BASELINE.json: elastic SCALE-UP
+    mid-training): train on 4 shards, save, restore onto 8, continue with
+    the full policy machinery running."""
+    spill = DiskKVStore(
+        SpillCodec(TableSpec.from_config(
+            TableConfig(dim=16, capacity=1 << 13,
+                        optimizer=OptimizerConfig(kind="rowwise_adagrad")),
+            num_shards=1,
+        )).width,
+        str(tmp_path / "spill.log"),
+    )
+    rng = np.random.default_rng(1)
+    tr4 = _mk_trainer(make_mesh(4), spill, 160)
+    for i in range(100):
+        tr4.train_step(_batch(rng, i))
+        if (i + 1) % 20 == 0:
+            tr4.maintenance()
+    tr4.flush()
+    rows4 = len(tr4)
+    ck = str(tmp_path / "ck_up")
+    tr4.save_checkpoint(ck)
+    step_saved = tr4.step
+    del tr4
+
+    tr8 = _mk_trainer(make_mesh(8), spill, 160)
+    tr8.load_checkpoint(ck)
+    assert tr8.step == step_saved
+    assert len(tr8) == rows4
+    losses = []
+    for i in range(100, 160):
+        out = tr8.train_step(_batch(rng, i))
+        if out["loss"] is not None:
+            losses.append(out["loss"])
+        if (i + 1) % 20 == 0:
+            tr8.maintenance()
+    tr8.flush()
+    assert np.isfinite(losses).all() and losses
+    c8 = tr8.counters()
+    assert c8["route_drops"] == 0
+    assert c8["evictions"] > 0
