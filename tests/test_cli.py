@@ -590,13 +590,49 @@ model: {num_dense_features: 4, top_mlp: [16, 1]}
     assert len(lines) == 2 and all(0.0 <= s <= 1.0 for l in lines
                                    for s in l["scores"])
     assert "serve_latency_ms" in out.stderr
-    out = subprocess.run(
+    # online group serving (serving_group.GroupScoringService, r5): the
+    # same --http surface now serves group checkpoints too
+    import socket
+    import time as _time
+    import urllib.request
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
         [sys.executable, "-m", "meepoembedding_tpu", "serve",
          "--config", str(cfg), "--ckpt", str(tmp_path / "gck"),
-         "--data", "synthetic", "--http", "18099"],
-        capture_output=True, text=True, timeout=600, env=env,
+         "--http", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
     )
-    assert out.returncode != 0 and "single-table" in out.stderr
+    try:
+        for _ in range(240):
+            try:
+                h = json.loads(urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=2).read())
+                break
+            except OSError:
+                _time.sleep(0.5)
+        else:
+            raise AssertionError(
+                f"group server never came up: {proc.stderr.read()[-2000:]}"
+            )
+        assert h["ok"] and set(h["tables"]) == {"user", "item"}
+        req = json.dumps({
+            "dense": [[0.1] * 4] * 2,
+            "ids": [[1, 2, 3], [4, 5, 6]],
+        }).encode()
+        r = json.loads(urllib.request.urlopen(
+            urllib.request.Request(
+                f"http://127.0.0.1:{port}/score", data=req,
+                headers={"Content-Type": "application/json"}),
+            timeout=120,
+        ).read())
+        assert len(r["scores"]) == 2
+        assert all(0.0 <= s <= 1.0 for s in r["scores"])
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
 
     out = subprocess.run(
         [sys.executable, "-m", "meepoembedding_tpu", "train",
