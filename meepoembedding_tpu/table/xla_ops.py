@@ -686,49 +686,52 @@ def window_place(spec: TableSpec, x, sub) -> jax.Array:
 
 def rows_for_batch(spec: TableSpec, g128, sub, inverse) -> jax.Array:
     """[U, 128] window rows + [U] window index + [n] inverse -> [n, dim] rows
-    in batch order. Every heavy op is U-level or 128-lane: window extract at
-    U (cheap [U,128]x[128,dim] matmuls), zero-pad to 128 lanes, ONE [n,128]
-    row gather, lane slice. Replaces the n-level formulation
-    (window_extract(g128[inverse], sub[inverse])) whose 1-D sub gather alone
-    measured 6.6 ms at n=512K and whose window matmuls ran at n instead of U.
-    Differentiable: the VJP is lane-pad -> [n,128] row scatter-add -> U-level
-    window_place — exactly the fast hand-written backward."""
+    in batch order. Every heavy op is U-level: window extract at U (cheap
+    [U,128]x[128,dim] matmuls), then ONE [n, dim] row gather. Replaces the
+    n-level formulation (window_extract(g128[inverse], sub[inverse])) whose
+    1-D sub gather alone measured 6.6 ms at n=512K and whose window matmuls
+    ran at n instead of U.
+
+    r5 note: the r2-era lane-pad to [n,128] before the gather is GONE — the
+    measured 6x padded-minor gather penalty no longer reproduces (r5 probe,
+    v5e: take [n,32] from [U,32] 6.47 ms == take [n,128] from [U,128]
+    6.43 ms at n=512K), so the narrow gather saves the [U,128] pad + [n]
+    slice copies (~2 ms/step at the headline shape) at identical per-row
+    cost. Differentiable: the VJP is a narrow [n,dim]->[U,dim] row
+    scatter-add (same measured cost as the 128-lane one) -> window_place."""
     rows_u = window_extract(spec, g128, sub)  # [U, dim] f32
-    if spec.dim == LANES:
-        return jnp.take(rows_u, inverse, axis=0)
-    pad = jnp.pad(rows_u, ((0, 0), (0, LANES - spec.dim)))
-    return jnp.take(pad, inverse, axis=0)[:, : spec.dim]
+    return jnp.take(rows_u, inverse, axis=0)
 
 
 def grads_to_window(spec: TableSpec, g, sub, inverse, num_unique) -> jax.Array:
     """[n, dim] per-occurrence grads -> [U, 128] window-space per-slot grads:
     the explicit adjoint of rows_for_batch (for hand-written backward paths
-    like bench.py). Zero-pad lanes, one duplicate-tolerant [n,128] row
-    scatter-add, U-level window_place."""
+    like bench.py). One duplicate-tolerant [n, dim] row scatter-add, then
+    U-level window_place (narrow scatter == 128-lane scatter in the r5
+    probe: 7.19 vs 7.16 ms at n=512K — the lane pad bought nothing)."""
     g = g.astype(jnp.float32)
     if spec.dim == LANES:
         return jnp.zeros((num_unique, LANES), jnp.float32).at[inverse].add(
             g, mode="drop"
         )
-    gpad = jnp.pad(g, ((0, 0), (0, LANES - spec.dim)))
-    g0 = jnp.zeros((num_unique, LANES), jnp.float32).at[inverse].add(
-        gpad, mode="drop"
+    g0 = jnp.zeros((num_unique, spec.dim), jnp.float32).at[inverse].add(
+        g, mode="drop"
     )
-    return window_place(spec, g0[:, : spec.dim], sub)
+    return window_place(spec, g0, sub)
 
 
 def lookup_rows_expand(
     spec: TableSpec, shard: TableShard, slot, inverse
 ) -> jax.Array:
-    """[U] slots + [n] inverse -> [n, dim] rows in batch order, staying in
-    128-lane space through both gathers (see module note above)."""
+    """[U] slots + [n] inverse -> [n, dim] rows in batch order: window
+    extract at U (matmuls scale with U, not n), then one narrow [n, dim]
+    row gather (same measured cost as a 128-lane gather, r5 probe)."""
     if spec.dim >= LANES:
         rows = lookup_rows(spec, shard, slot)
         return rows[inverse]
     g, sub = lookup_rows128(spec, shard, slot)
-    gn = jnp.take(g, inverse, axis=0)  # [n, 128]
-    sub_n = jnp.take(sub, inverse)
-    return window_extract(spec, gn, sub_n).astype(spec.dtype)
+    rows_u = window_extract(spec, g, sub)  # [U, dim]
+    return jnp.take(rows_u, inverse, axis=0).astype(spec.dtype)
 
 
 def segment_sum_grads_window(spec: TableSpec, g, sub_n, inverse, num_unique):
