@@ -9,11 +9,16 @@ checkpoint written with N shards loads onto M devices (elastic reshard).
 Layout of a checkpoint directory:
 
   manifest.json       {"format", "num_shards", "dim", "capacity", "step",
-                       "value_dtype", "optimizer", "counts", "dir", "extras"}
+                       "value_dtype", "optimizer", "counts", "counters",
+                       "dir", "extras"}
   step-N[.k]/         one GENERATION directory per save; the manifest's "dir"
     shard-00000.npz   ids i64[n], values f32[n,dim], freq i32[n], last i32[n],
                       accum f32[n] (rowwise slot), full0.. f32[n,dim] (fulldim
                       slots: adagrad accumulator / adam moments)
+    shard-*.counters.npy  per-shard lifetime device counters; the manifest
+                      carries their global sum and restore re-seats it (on
+                      shard 0, other shards zeroed) so hit/miss/evict/spill
+                      history survives save -> elastic restore
     dense-*.npz       optional dense pytrees (tower params, optimizer state)
 
 Every save writes into a FRESH generation directory and commits by writing
@@ -180,6 +185,33 @@ def _empty_shard_arrays(spec: TableSpec) -> dict:
 
 def _part_name(i: int, p: int) -> str:
     return f"shard-{i:05d}.part{p:04d}.npz"
+
+
+def _counters_name(i: int) -> str:
+    # sidecar, deliberately NOT matching _shard_files' part glob: lifetime
+    # device counters travel with the checkpoint (soak finding, r5: restore
+    # previously reset them and counted its own re-inserts as history)
+    return f"shard-{i:05d}.counters.npy"
+
+
+def _write_counters_sidecar(gdir: str, i: int, counters) -> None:
+    c = np.asarray(counters)
+    _atomic_write(
+        os.path.join(gdir, _counters_name(i)),
+        lambda f, c=c: np.save(f, c),
+    )
+
+
+def _read_counters(gdir: str, num_shards: int):
+    """Sum of all shards' counter sidecars, or None for pre-r5 checkpoints."""
+    total = None
+    for i in range(num_shards):
+        p = os.path.join(gdir, _counters_name(i))
+        if not os.path.exists(p):
+            return None
+        c = np.load(p)
+        total = c if total is None else total + c
+    return total
 
 
 def _shard_files(d: str, i: int) -> List[str]:
@@ -367,7 +399,9 @@ class AsyncCheckpointer:
     def save(self, path, spec, shards, step, extras=None, dense=None) -> None:
         self.wait()
         arrs_by_id = {
-            i: export_shard_arrays(spec, sh) for i, sh in enumerate(shards)
+            i: dict(export_shard_arrays(spec, sh),
+                    counters=np.asarray(sh.counters))
+            for i, sh in enumerate(shards)
         }
         dense_np = None
         if dense is not None:
@@ -424,15 +458,20 @@ def save_sharded(
         if isinstance(shard, dict):
             # the caller already exported (AsyncCheckpointer's snapshot):
             # legacy single-file write of the in-memory arrays
+            arrs = dict(shard)
+            counters = arrs.pop("counters", None)
+            if counters is not None:
+                _write_counters_sidecar(gdir, i, counters)
             _atomic_write(
                 os.path.join(gdir, f"shard-{i:05d}.npz"),
-                lambda f, arrs=shard: np.savez(f, **arrs),
+                lambda f, arrs=arrs: np.savez(f, **arrs),
             )
         else:
             # streamed part files: resumable, raw-dtype payload (bf16 tables
             # checkpoint at 2 bytes/lane), optional compression
             save_shard_streamed(gdir, i, spec, shard, chunk_rows,
                                 compress=compress)
+            _write_counters_sidecar(gdir, i, shard.counters)
     dense = dense or {}
     if is_coordinator:
         for name, tree in dense.items():
@@ -468,6 +507,9 @@ def save_sharded(
             "dense": sorted(dense),
             "extras": extras or {},
         }
+        saved_counters = _read_counters(gdir, num_shards)
+        if saved_counters is not None:
+            manifest["counters"] = [int(x) for x in saved_counters]
         _atomic_write(
             os.path.join(path, "manifest.json"),
             lambda f: f.write(json.dumps(manifest, indent=1).encode()),
@@ -734,4 +776,22 @@ def restore_shards(
                         f"table.capacity (or set table.grow_at_load so the "
                         f"trainer pre-grows on load)"
                     )
+    # Lifetime counters travel with the checkpoint (r5): the restore's own
+    # insert churn is NOT history, so wanted shards reset to zero and the
+    # saved GLOBAL totals land on shard 0 (summing over shards — the one
+    # counters read every consumer performs — then equals the saved state).
+    # Pre-r5 checkpoints carry no "counters" and keep the old fresh-zeros
+    # (plus churn) behavior.
+    saved_c = m.get("counters")
+    if saved_c is not None and lane_slice is None:
+        for s in wanted:
+            if shards[s] is None:
+                continue
+            c = jnp.zeros_like(shards[s].counters)
+            if s == 0:
+                vec = np.zeros((int(c.shape[0]),), np.int32)
+                vals = np.asarray(saved_c, np.int64)[: len(vec)]
+                vec[: len(vals)] = vals.astype(np.int32)
+                c = jnp.asarray(vec)
+            shards[s] = shards[s]._replace(counters=c)
     return shards, m

@@ -457,3 +457,44 @@ def test_compressed_checkpoint_roundtrip(tmp_path, monkeypatch):
     assert set(after) == set(before)
     for k in before:
         np.testing.assert_array_equal(after[k][0], before[k][0])
+
+
+def test_counters_survive_save_restore(tmp_path):
+    """Lifetime device counters travel with the checkpoint (r5): hits/misses/
+    inserts/evictions history is re-seated on restore — including elastic
+    N->M — and the restore's own insert churn is NOT counted as history."""
+    import jax.numpy as jnp
+
+    from meepoembedding_tpu import checkpoint
+    from meepoembedding_tpu.config import OptimizerConfig, TableConfig
+    from meepoembedding_tpu.table.layout import TableSpec
+    from meepoembedding_tpu.table.runtime import DynamicEmbeddingTable
+
+    cfg = TableConfig(
+        dim=8, capacity=4096,
+        optimizer=OptimizerConfig(kind="rowwise_adagrad"),
+    )
+    t = DynamicEmbeddingTable(cfg)
+    ids = np.arange(1, 600, dtype=np.int64) * 7919
+    for _ in range(3):
+        t.lookup(ids, train=True)
+        t.apply_grads(np.zeros((len(ids), 8), np.float32))
+    before = t.counters()
+    assert before["inserts"] > 0 and before["hits"] > 0
+    t.save(str(tmp_path / "ck"))
+    m = checkpoint.read_manifest(str(tmp_path / "ck"))
+    assert "counters" in m and m["counters"][2] == before["inserts"]
+
+    # same-shape restore: counters identical, restore churn invisible
+    t2 = DynamicEmbeddingTable(cfg)
+    t2.load(str(tmp_path / "ck"))
+    after = t2.counters()
+    for k in ("hits", "misses", "inserts", "evictions", "denied"):
+        assert after[k] == before[k], (k, after, before)
+
+    # elastic 1 -> 4 shards: global sum preserved (seated on shard 0)
+    spec4 = TableSpec.from_config(cfg, num_shards=4)
+    shards, m2 = checkpoint.restore_shards(spec4, str(tmp_path / "ck"), 4)
+    total = np.sum([np.asarray(s.counters) for s in shards], axis=0)
+    assert int(total[2]) == before["inserts"]
+    assert int(total[0]) == before["hits"]

@@ -126,11 +126,11 @@ def test_lifecycle_soak_with_elastic_reshard(tmp_path):
             tr4.maintenance()
     tr4.flush()
     c4 = tr4.counters()
-    # counters are per-process lifetime (restore starts fresh shards): the
-    # restore itself re-inserted every live row, and phase B kept the
-    # machinery running on the 4-shard mesh
-    assert c4["inserts"] >= rows8, (c4, rows8)
-    assert c4["evictions"] > 0, c4
+    # lifetime counters TRAVEL with the checkpoint (r5: manifest "counters"
+    # + restore re-seat): history carried over the reshard and kept growing
+    # through phase B — the restore's own insert churn is not counted
+    assert c4["inserts"] >= c8["inserts"], (c4, c8)
+    assert c4["evictions"] >= c8["evictions"], (c4, c8)
     assert c4["route_drops"] == 0
     # promotion machinery fired across the whole run: drifting hot sets
     # re-touch evicted ids, whose spilled state returns from the cold tier
